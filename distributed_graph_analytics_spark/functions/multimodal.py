@@ -1,0 +1,133 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schema, partition-friendly batch
+iteration, Arrow-batched mapInPandas UDFs with bounded batch sizes —
+while the actual codec work is STUBBED (this container ships no
+image/audio libraries): `decode_image` raises NotImplementedError
+unless `fake=True`, in which case a deterministic fake decoder (derived
+from the bytes' sha256) stands in so the pipeline shape is testable
+end-to-end.
+
+At 100 TB the pattern is: keep binaries in their own column (parquet
+keeps them out of unrelated scans via column pruning), set
+spark.sql.execution.arrow.maxRecordsPerBatch low enough that a batch of
+decoded frames fits executor memory, and partition by a size-balanced
+key rather than row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("n_bytes", IntegerType()),
+        StructField("payload_sha256", StringType()),
+    ]
+)
+
+
+def synthesize_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media rows (payload = repeatable bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 + i % 16,
+                48 + i % 9,
+                1000 + 10 * i,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """STUB: real decode requires an image codec library not present in
+    this container. fake=True produces a deterministic 8-dim feature
+    from the payload hash so the distributed plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. Pillow); "
+            "run with fake=True for the deterministic stand-in"
+        )
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def extract_features(media: DataFrame, fake: bool = True, batch_size: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, bounded batches,
+    schema-stable output. The decode step is the stub above."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            shas = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                feats.append(decode_image(raw, fake=fake))
+                shas.append(hashlib.sha256(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "payload_sha256": shas,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled
+    timestamp (decode stubbed; timestamps are real columnar math)."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("ts_ms"),
+        )
+    )

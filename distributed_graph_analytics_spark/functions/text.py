@@ -1,0 +1,98 @@
+"""Text-analysis operators for a large-scale training-data pipeline,
+over the ``documents(doc_id, text, lang, source, n_chars)`` table.
+
+All of these are pure column expressions (whole-stage codegen, no
+Python in the hot path) so they run at scan speed and Catalyst pushes
+the projection into the parquet read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small multilingual stopword sets for the n-gram language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+_EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by",
+]
+
+#: BPE-ish tokenizer: words, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count and a BPE-ish regex token count."""
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+    return F.struct(ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]:
+    mean of (length score, alpha ratio, stopword presence, low punct).
+    Deterministic and SQL-expressible (mirrored in oracle SQL).
+    """
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    words = F.size(F.split(F.lower(F.trim(text)), r"\s+"))
+    stop_hits = sum(
+        (
+            F.when(
+                F.array_contains(F.split(F.lower(text), r"\s+"), w), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        for w in _EN_STOPWORDS[:8]
+    )
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = alpha / F.greatest(n, F.lit(1))
+    stop_score = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(
+        punct / F.greatest(words, F.lit(1)), F.lit(1.0)
+    )
+    return (len_score + alpha_ratio + stop_score + punct_penalty) / F.lit(4.0)
+
+
+def detect_language(text: Column) -> Column:
+    """Marker-word language heuristic: argmax over per-language marker
+    hit counts; 'und' (undetermined) when nothing matches."""
+    toks = F.split(F.lower(text), r"\s+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = sum(
+            F.when(F.array_contains(toks, m), F.lit(1)).otherwise(F.lit(0))
+            for m in markers
+        )
+        scores.append(F.struct(hits.cast("int").alias("hits"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint per document: xxhash64 of the
+    whitespace-normalized lowercased text (stable across partitioning),
+    plus the sha256 hex for exact-dup auditing."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.withColumn("fingerprint", F.xxhash64(norm)).withColumn(
+        "content_sha256", F.sha2(norm, 256)
+    )
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection used by the entry queries."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t)["ws_tokens"].alias("ws_tokens"),
+        token_count(t)["bpe_tokens"].alias("bpe_tokens"),
+        F.round(quality_score(t), 6).alias("quality"),
+        detect_language(t).alias("lang_guess"),
+    )

@@ -1,0 +1,356 @@
+"""Louvain modularity — parallel community move + graph compression.
+
+A faithful DataFrame re-expression of the reference's GraphX Louvain
+(dga-graphx louvain/LouvainCore.scala:40-342 and the multi-level driver
+AbstractLouvainRunner.scala:43-74):
+
+- vertex state (id, community, sigma_tot, internal_w, node_w, changed)
+  = LouvainData (LouvainData.scala:27-33), numeric ids only;
+- node weight = Σ incident edge weight, both directions
+  (createLouvainGraph, LouvainCore.scala:46-52); parallel (src,dst)
+  edges merged up front (groupEdges, :58);
+- per cycle, each vertex gathers per-neighbor-community
+  (community, sigma_tot) → Σ edge weight (sendCommunityData /
+  mergeCommunityMessages, :189-210) — here one triplets join + one
+  groupBy (the map-union merge IS the groupBy);
+- best-community choice: ΔQ = k_i_in − k_i·σ_tot/M with σ_tot
+  excluding the vertex when evaluating its current community
+  (q(), :253-267); candidates require ΔQ > 0; ties broken toward the
+  larger community id (:226). ΔQ is computed in DecimalType to mirror
+  the reference's BigDecimal tie-break determinism (:221);
+- oscillation damping: even cycles only allow moves to lower community
+  ids, odd cycles to higher (code at :234 — note the comment in the
+  reference says the opposite of what its code does; we follow the
+  code);
+- community σ_tot recompute = groupBy(community).sum(node_w +
+  internal_w) joined back to members (:105-122);
+- progress halt: changed-vertex count accumulated per even+odd pair,
+  compared against the previous pair minus minProgress; stop after
+  progressCounter consecutive low-progress pairs or zero moves
+  (:145-152);
+- modularity Q = Σ_v max(0, k_i_in/M − σ_tot·k_i/M²) over vertices
+  with neighbors (:157-179);
+- compression: self-community edges ×2 → community internal weight;
+  cross-community edges re-keyed (min,max) and summed; communities
+  become vertices (compressGraph, :273-342);
+- outer loop: repeat while Q improves by > 0.001
+  (AbstractLouvainRunner.scala:63).
+
+Everything is joins + aggregations; the ΔQ argmax is a single
+max(struct(...)) aggregate — no window, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+
+_DEC = "decimal(38,12)"
+
+
+@dataclass
+class LouvainLevel:
+    level: int
+    q: float
+    cycles: int
+    #: community assignment of this level's (possibly compressed) vertices
+    assignment: DataFrame = None
+
+
+@dataclass
+class LouvainResult:
+    #: per original vertex: community id at level 0
+    level0: DataFrame = None
+    #: per original vertex: community id after the final level (folded)
+    final: DataFrame = None
+    levels: list[LouvainLevel] = field(default_factory=list)
+    wall_seconds: float = 0.0
+
+
+def _community_messages(state: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per (vertex, neighboring community): Σ edge weight + that
+    community's current σ_tot (sendCommunityData/mergeCommunityMessages).
+    """
+    src_info = state.select(
+        F.col("id").alias("src"),
+        F.col("community").alias("src_comm"),
+        F.col("sigma_tot").alias("src_sigma"),
+    )
+    dst_info = state.select(
+        F.col("id").alias("dst"),
+        F.col("community").alias("dst_comm"),
+        F.col("sigma_tot").alias("dst_sigma"),
+    )
+    triplets = edges.join(src_info, "src").join(dst_info, "dst")
+    msgs = triplets.select(
+        F.col("src").alias("id"),
+        F.col("dst_comm").alias("comm"),
+        F.col("dst_sigma").alias("comm_sigma"),
+        "weight",
+    ).unionByName(
+        triplets.select(
+            F.col("dst").alias("id"),
+            F.col("src_comm").alias("comm"),
+            F.col("src_sigma").alias("comm_sigma"),
+            "weight",
+        )
+    )
+    return msgs.groupBy("id", "comm", "comm_sigma").agg(
+        F.sum("weight").alias("w_to_comm")
+    )
+
+
+def _best_community(state: DataFrame, msgs: DataFrame, m_total: int, even: bool) -> DataFrame:
+    """One move cycle: pick argmax-ΔQ community per vertex, gated by the
+    even/odd direction rule; returns the new state (changed flags set).
+    """
+    cand = msgs.join(state, "id")
+    is_cur = F.col("comm") == F.col("community")
+    k_i = (F.col("node_w") + F.col("internal_w")).cast(_DEC)
+    k_i_in = F.when(is_cur, F.col("w_to_comm") + F.col("internal_w")).otherwise(
+        F.col("w_to_comm")
+    ).cast(_DEC)
+    sigma = F.when(is_cur, F.col("comm_sigma").cast(_DEC) - k_i).otherwise(
+        F.col("comm_sigma").cast(_DEC)
+    )
+    m_dec = F.lit(int(m_total)).cast(_DEC)
+    delta_q = F.when(is_cur & (sigma == 0), F.lit(0).cast(_DEC)).otherwise(
+        k_i_in - k_i * sigma / m_dec
+    )
+    best = (
+        cand.select("id", "comm", delta_q.alias("dq"))
+        .where(F.col("dq") > 0)
+        .groupBy("id")
+        .agg(F.max(F.struct("dq", "comm")).alias("b"))
+        .select("id", F.col("b.comm").alias("best_comm"))
+    )
+    gate = (
+        (F.lit(even) & (F.col("community") > F.col("best_comm")))
+        | (~F.lit(even) & (F.col("community") < F.col("best_comm")))
+    )
+    moved = state.join(best, "id", "left_outer").select(
+        "id",
+        "internal_w",
+        "node_w",
+        F.when(
+            F.col("best_comm").isNotNull()
+            & (F.col("best_comm") != F.col("community"))
+            & gate,
+            F.col("best_comm"),
+        )
+        .otherwise(F.col("community"))
+        .alias("community"),
+        (
+            F.col("best_comm").isNotNull()
+            & (F.col("best_comm") != F.col("community"))
+            & gate
+        ).alias("changed"),
+    )
+    # recompute σ_tot per community and map back to members
+    # (LouvainCore.scala:105-122)
+    sigma_update = moved.groupBy("community").agg(
+        F.sum(F.col("node_w") + F.col("internal_w")).alias("sigma_tot")
+    )
+    return moved.join(sigma_update, "community").select(
+        "id", "community", "sigma_tot", "internal_w", "node_w", "changed"
+    )
+
+
+def louvain_level(
+    edges: DataFrame,
+    min_progress: int = 1,
+    progress_counter: int = 1,
+) -> tuple[float, DataFrame, int]:
+    """One Louvain level to progress-halt; returns (Q, state, passes).
+
+    Mirrors LouvainCore.louvain() on an uncompressed graph (internal
+    weights start at 0).
+    """
+    return _louvain_level_with_internal(edges, None, min_progress, progress_counter)
+
+
+def louvain(
+    edges: DataFrame,
+    min_progress: int = 2000,
+    progress_counter: int = 1,
+    max_levels: int = 20,
+) -> LouvainResult:
+    """Full multi-level Louvain (AbstractLouvainRunner.run).
+
+    Returns per-original-vertex level-0 and final community labels plus
+    per-level Q values. Defaults match the reference CLI
+    (DGARunner.scala:53-55: minProgress=2000, progressCounter=1).
+    """
+    t0 = time.time()
+    result = LouvainResult()
+    spark = edges.sparkSession
+
+    # level state: edge table + per-vertex internal weight carried
+    # between levels (level-0 vertices have internal weight 0)
+    cur_edges = edges
+    internal: DataFrame | None = None  # (id, internal_w) for level > 0
+    mapping: DataFrame | None = None  # original id -> current-level vertex id
+    q_prev = -1.0
+    level = -1
+    while level + 1 < max_levels:
+        level += 1
+        q, state, passes = _louvain_level_with_internal(
+            cur_edges, internal, min_progress, progress_counter
+        )
+        assignment = state.select("id", "community").localCheckpoint(eager=True)
+        result.levels.append(LouvainLevel(level=level, q=q, cycles=passes, assignment=assignment))
+        if level == 0:
+            result.level0 = assignment
+            mapping = assignment  # original id -> community
+        else:
+            mapping = (
+                mapping.withColumnRenamed("community", "prev")
+                .join(
+                    assignment.withColumnRenamed("id", "prev"),
+                    "prev",
+                )
+                .select("id", "community")
+                .localCheckpoint(eager=True)
+            )
+        if not (q > q_prev + 0.001):
+            break
+        q_prev = q
+        # ---- compressGraph ----
+        comm = state.select("id", "community", "internal_w")
+        src_c = comm.select(F.col("id").alias("src"), F.col("community").alias("src_comm"))
+        dst_c = comm.select(F.col("id").alias("dst"), F.col("community").alias("dst_comm"))
+        triplets = (
+            cur_edges.groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .join(src_c, "src")
+            .join(dst_c, "dst")
+        )
+        internal_edge_w = (
+            triplets.where(F.col("src_comm") == F.col("dst_comm"))
+            .groupBy(F.col("src_comm").alias("community"))
+            .agg((F.lit(2) * F.sum("weight")).alias("w_self"))
+        )
+        internal_node_w = comm.groupBy("community").agg(
+            F.sum("internal_w").alias("w_members")
+        )
+        internal = (
+            internal_node_w.join(internal_edge_w, "community", "left_outer")
+            .select(
+                F.col("community").alias("id"),
+                (F.col("w_members") + F.coalesce("w_self", F.lit(0))).alias(
+                    "internal_w"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_edges = (
+            triplets.where(F.col("src_comm") != F.col("dst_comm"))
+            .select(
+                F.least("src_comm", "dst_comm").alias("src"),
+                F.greatest("src_comm", "dst_comm").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+    result.final = mapping
+    result.wall_seconds = time.time() - t0
+    return result
+
+
+def _louvain_level_with_internal(
+    edges: DataFrame,
+    internal: DataFrame | None,
+    min_progress: int,
+    progress_counter: int,
+) -> tuple[float, DataFrame, int]:
+    """louvain_level, but seeding per-vertex internal weights from the
+    previous compression (compressGraph's newVertices carry
+    internalWeight; node weight is recomputed from the level's edges).
+    Isolated communities (all edges internal) still appear as vertices.
+    """
+    merged = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    node_w = (
+        merged.select(F.col("src").alias("id"), "weight")
+        .unionByName(merged.select(F.col("dst").alias("id"), "weight"))
+        .groupBy("id")
+        .agg(F.sum("weight").alias("node_w"))
+    )
+    if internal is not None:
+        base = internal.join(node_w, "id", "full_outer").select(
+            "id",
+            F.coalesce("internal_w", F.lit(0)).alias("internal_w"),
+            F.coalesce("node_w", F.lit(0)).alias("node_w"),
+        )
+    else:
+        base = node_w.select("id", F.lit(0).cast("long").alias("internal_w"), "node_w")
+    state = base.select(
+        "id",
+        F.col("id").alias("community"),
+        (F.col("node_w") + F.col("internal_w")).alias("sigma_tot"),
+        "internal_w",
+        "node_w",
+        F.lit(False).alias("changed"),
+    ).localCheckpoint(eager=True)
+    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    m_total = int(
+        state.agg(F.sum(F.col("internal_w") + F.col("node_w"))).first()[0] or 0
+    )
+
+    updated = -min_progress
+    updated_last_phase = 0
+    even = False
+    count = 0
+    stop = 0
+    while True:
+        count += 1
+        even = not even
+        msgs = _community_messages(state, merged)
+        new_state = _best_community(state, msgs, m_total, even).localCheckpoint(
+            eager=True
+        )
+        state.unpersist()
+        state = new_state
+        if even:
+            updated = 0
+        updated += state.where("changed").count()
+        if not even:
+            if updated >= updated_last_phase - min_progress:
+                stop += 1
+            updated_last_phase = updated
+        if not (stop <= progress_counter and (even or (updated > 0 and count < 100_000))):
+            break
+
+    msgs = _community_messages(state, merged)
+    own_comm_w = (
+        msgs.join(state.select("id", "community"), "id")
+        .where(F.col("comm") == F.col("community"))
+        .groupBy("id")
+        .agg(F.sum("w_to_comm").alias("w_own"))
+    )
+    with_msgs = msgs.select("id").distinct()
+    q_df = (
+        state.join(with_msgs, "id", "left_semi")
+        .join(own_comm_w, "id", "left_outer")
+        .select(
+            (
+                (F.col("internal_w") + F.coalesce("w_own", F.lit(0)))
+                / F.lit(float(m_total))
+                - (
+                    F.col("sigma_tot")
+                    * (F.col("node_w") + F.col("internal_w"))
+                    / F.lit(float(m_total) ** 2)
+                )
+            ).alias("q_i")
+        )
+        .select(F.when(F.col("q_i") < 0, 0.0).otherwise(F.col("q_i")).alias("q_i"))
+    )
+    q = float(q_df.agg(F.sum("q_i")).first()[0] or 0.0)
+    merged.unpersist()
+    return q, state, count // 2

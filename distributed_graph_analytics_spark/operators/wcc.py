@@ -1,0 +1,98 @@
+"""Weakly Connected Components — max-label propagation to fixed point.
+
+Semantics match the reference's custom WCC
+(dga-graphx WeaklyConnectionComponentsCore.scala:31-56): every vertex
+starts labeled with its own id; along every edge (both directions —
+``EdgeDirection.Either``) the lower-labeled endpoint adopts the higher
+label; merge is ``max``; fixed point when no label changes. Numeric
+long comparison (GraphX semantics; the Giraph twin compares strings —
+SURVEY.md §1.1 picks numeric).
+
+Spark-first design:
+- the symmetric neighbor view is built once, de-duplicated, persisted,
+  and pre-partitioned on the join key so every superstep's shuffle
+  reuses the same partitioning;
+- frontier optimization (the DataFrame analog of Pregel's active set):
+  max-labels only grow, so only vertices whose label changed last
+  superstep need to re-broadcast — the per-iteration join probes a
+  shrinking frontier, exactly Pregel's ``activeDirection`` pruning;
+- each superstep = one shuffle join + one partial-aggregated groupBy;
+  convergence is a driver-side count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from distributed_graph_analytics_spark.plans.iteration import (
+    IterationController,
+    IterationStats,
+)
+from distributed_graph_analytics_spark.sources.edges import vertices_of
+
+
+def weakly_connected_components(
+    edges: DataFrame,
+    max_iterations: int = 200,
+    checkpoint_manager=None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, IterationStats]:
+    """Returns (components(id LONG, component LONG), stats).
+
+    ``component`` is the max vertex id in the component (reference
+    fixture semantics, WeaklyConnectedComponentsCoreTest.scala).
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # symmetric, deduped adjacency; partitioned by v (the probe side of
+    # every superstep's join) so iterations reuse one layout
+    nbrs = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .repartition(n_part, "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vertices = vertices_of(edges)
+    # state carries the frontier flag; superstep 0 = everyone active
+    init = vertices.select(
+        F.col("id"), F.col("id").alias("component"), F.lit(True).alias("changed")
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        frontier = state.where("changed").select("id", "component")
+        # messages: each frontier vertex pushes its label to all neighbors
+        msgs = (
+            nbrs.join(frontier, nbrs["v"] == frontier["id"])
+            .select(F.col("u").alias("id"), F.col("component").alias("cand"))
+            .groupBy("id")
+            .agg(F.max("cand").alias("cand"))
+        )
+        new_state = (
+            state.select("id", "component")
+            .join(msgs, "id", "left_outer")
+            .select(
+                "id",
+                F.greatest("component", "cand").alias("component"),
+                (F.col("cand") > F.col("component")).alias("changed_raw"),
+            )
+            .select(
+                "id",
+                "component",
+                F.coalesce("changed_raw", F.lit(False)).alias("changed"),
+            )
+        )
+        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = new_state.where("changed").count()
+        return new_state, {"changed": changed}
+
+    controller = IterationController(
+        max_iterations=max_iterations, checkpoint_manager=checkpoint_manager
+    )
+    final, stats = controller.run(
+        init, step, converged=lambda m, i: m["changed"] == 0, name="wcc"
+    )
+    nbrs.unpersist()
+    return final.select("id", "component"), stats

@@ -1,0 +1,95 @@
+"""Iteration controller — the DataFrame analog of the Pregel driver loop.
+
+The reference iterates with GraphX Pregel / Giraph supersteps
+(WeaklyConnectionComponentsCore.scala:55, PageRankCore.scala:68,
+LouvainMasterCompute.java:69-107). Here each analytic supplies a step
+function ``state -> (new_state, metrics)`` and the controller owns the
+cross-cutting physics that the reference hand-codes per algorithm:
+
+- persist current state / unpersist the previous generation
+  (reference cache+unpersist choreography, LouvainCore.scala:124-140);
+- lineage truncation via ``localCheckpoint`` every iteration — absent
+  in the RDD reference but mandatory for DataFrame loops, else the
+  Catalyst plan grows O(iterations);
+- durable checkpoints every k iterations through a CheckpointManager,
+  recording per-partition lineage + metrics so a run resumes
+  mid-convergence (north rule), standing in for the reference's HDFS
+  marker files (LouvainRunner.java:85-127);
+- convergence decided by the caller from driver-side scalar metrics
+  (the DataFrame analog of Giraph aggregators,
+  PageRankMasterCompute.java:41-52).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+
+
+@dataclass
+class IterationStats:
+    iterations: int = 0
+    converged: bool = False
+    wall_seconds: float = 0.0
+    history: list[dict] = field(default_factory=list)
+
+
+class IterationController:
+    def __init__(
+        self,
+        max_iterations: int = 200,
+        checkpoint_manager=None,
+        checkpoint_every: int = 10,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        eager_localcheckpoint: bool = True,
+    ):
+        self.max_iterations = max_iterations
+        self.checkpoint_manager = checkpoint_manager
+        self.checkpoint_every = checkpoint_every
+        self.storage_level = storage_level
+        self.eager = eager_localcheckpoint
+
+    def run(
+        self,
+        state: DataFrame,
+        step: Callable[[DataFrame, int], tuple[DataFrame, dict]],
+        converged: Callable[[dict, int], bool],
+        name: str = "analytic",
+    ) -> tuple[DataFrame, IterationStats]:
+        """Run ``step`` until ``converged(metrics, i)`` or max_iterations.
+
+        ``step`` gets the persisted current state and the 1-based
+        iteration number; it returns the next state plus a metrics dict
+        of driver-side scalars (its own actions may already have
+        materialized the next state).
+        """
+        t0 = time.time()
+        stats = IterationStats()
+        start_iter = 0
+        if self.checkpoint_manager is not None:
+            resumed = self.checkpoint_manager.try_resume(name)
+            if resumed is not None:
+                state, start_iter = resumed
+        current = state.localCheckpoint(eager=self.eager)
+        for i in range(start_iter + 1, self.max_iterations + 1):
+            new_state, metrics = step(current, i)
+            # Truncate lineage: the new plan must not reference the old
+            # generation, or iteration k carries k joins of history.
+            new_state = new_state.localCheckpoint(eager=self.eager)
+            current.unpersist()
+            current = new_state
+            stats.iterations = i
+            stats.history.append(metrics)
+            if self.checkpoint_manager is not None and i % self.checkpoint_every == 0:
+                self.checkpoint_manager.save(name, current, i, metrics)
+            if converged(metrics, i):
+                stats.converged = True
+                break
+        stats.wall_seconds = time.time() - t0
+        if self.checkpoint_manager is not None and stats.converged:
+            self.checkpoint_manager.save(name, current, stats.iterations, {"converged": True})
+        return current, stats

@@ -1,0 +1,57 @@
+"""SparkSession construction mirroring the reference's `buildSparkConf`.
+
+Reference: dga-graphx DGARunner.scala:133-146 builds a SparkConf (app
+name, master, kryo). Here the equivalent tuned-for-DataFrame session:
+AQE on (runtime re-plan + skew-join handling), shuffle partitions sized
+to the core count, Arrow enabled for the pandas-UDF kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dga-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        # local[N] → N-ish shuffle partitions; a real cluster would use
+        # 2-3x total executor cores.
+        n = cores if not master.startswith("local[") else _local_cores(master, cores)
+        shuffle_partitions = max(8, n)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # iterative loops localCheckpoint per superstep; the blocks are
+        # freed by the ContextCleaner only after a driver GC — force one
+        # regularly or long runs accumulate every iteration's state
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _local_cores(master: str, default: int) -> int:
+    inner = master[len("local[") : -1]
+    if inner == "*":
+        return os.cpu_count() or default
+    try:
+        return int(inner)
+    except ValueError:
+        return default

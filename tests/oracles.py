@@ -1,0 +1,83 @@
+"""Pure-Python oracles for the iterative analytics (no Spark)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+
+def pagerank_oracle(edge_list, damping=0.85, epsilon=0.001, max_iter=100):
+    """Giraph-semantics PageRank (PageRankComputation.java:51-81):
+    rank = (1-d)/N + d*sum(in msgs), msg = rank/out_edge_count (parallel
+    edges count), halt when max relative delta < epsilon after >= 2
+    updates.
+    """
+    out_edges = defaultdict(list)
+    vertices = set()
+    for e in edge_list:
+        s, d = int(e[0]), int(e[1])
+        out_edges[s].append(d)
+        vertices.add(s)
+        vertices.add(d)
+    n = len(vertices)
+    rank = {v: 1.0 / n for v in vertices}
+    for it in range(1, max_iter + 1):
+        msgs = defaultdict(float)
+        for s, dsts in out_edges.items():
+            share = rank[s] / len(dsts)
+            for d in dsts:
+                msgs[d] += share
+        new_rank = {}
+        max_delta = 0.0
+        for v in vertices:
+            r = (1.0 - damping) / n + damping * msgs.get(v, 0.0)
+            max_delta = max(max_delta, abs(r - rank[v]) / rank[v])
+            new_rank[v] = r
+        rank = new_rank
+        if it >= 2 and max_delta < epsilon:
+            break
+    return rank
+
+
+def wcc_oracle(edge_list):
+    """Max-label connected components via union-find."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edge_list:
+        for v in (int(e[0]), int(e[1])):
+            parent.setdefault(v, v)
+    for e in edge_list:
+        a, b = find(int(e[0])), find(int(e[1]))
+        if a != b:
+            parent[a] = b
+    comp_max = {}
+    for v in parent:
+        r = find(v)
+        comp_max[r] = max(comp_max.get(r, v), v)
+    return {v: comp_max[find(v)] for v in parent}
+
+
+def triangle_oracle(edge_list):
+    """Brute-force distinct triangle count (undirected, loops ignored)."""
+    adj = defaultdict(set)
+    for e in edge_list:
+        s, d = int(e[0]), int(e[1])
+        if s == d:
+            continue
+        adj[s].add(d)
+        adj[d].add(s)
+    count = 0
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    count += 1
+    return count

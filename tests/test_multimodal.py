@@ -1,0 +1,41 @@
+import hashlib
+
+import pytest
+
+from distributed_graph_analytics_spark.functions.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    synthesize_media_table,
+)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+
+
+def test_extract_features_deterministic_and_schema(spark):
+    media = synthesize_media_table(spark, n=12)
+    out = extract_features(media, fake=True).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # sha256 invariant survives the Arrow round-trip
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out:
+        assert r["payload_sha256"] == hashlib.sha256(payloads[r["media_id"]]).hexdigest()
+        assert r["n_bytes"] == len(payloads[r["media_id"]])
+
+
+def test_frame_sample_counts(spark):
+    media = synthesize_media_table(spark, n=9)
+    frames = frame_sample(media, every_ms=500).collect()
+    videos = {r["media_id"]: r["duration_ms"] for r in media.collect() if r["kind"] == "video"}
+    per_video = {}
+    for r in frames:
+        per_video[r["media_id"]] = per_video.get(r["media_id"], 0) + 1
+    assert set(per_video) == set(videos)
+    for mid, n in per_video.items():
+        assert n == videos[mid] // 500 + 1

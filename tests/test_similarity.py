@@ -1,0 +1,51 @@
+import numpy as np
+
+from distributed_graph_analytics_spark.functions.similarity import (
+    brute_force_cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_cosine_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def vectors(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    v = vectors(spark)
+    pdf = v.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries = v.limit(3).selectExpr("vec_id as query_id", "embedding")
+    got = brute_force_cosine_topk(v, queries, k=5).toPandas()
+    for qid in got["query_id"].unique():
+        qvec = mat[ids == qid][0]
+        cos = (mat @ qvec) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qvec))
+        want_order = ids[np.argsort(-cos)][:5].tolist()
+        got_rows = got[got["query_id"] == qid].sort_values("rank")
+        assert got_rows["vec_id"].tolist() == want_order
+        np.testing.assert_allclose(
+            got_rows["cos"].to_numpy(), np.sort(cos)[::-1][:5], rtol=1e-6
+        )
+    # self always rank 1 with cos ~ 1
+    top1 = got[got["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+
+
+def test_lsh_topk_contains_self_and_subsets_bruteforce(spark):
+    v = vectors(spark)
+    queries = v.limit(3).selectExpr("vec_id as query_id", "embedding")
+    approx = lsh_bucketed_cosine_topk(v, queries, k=5, num_planes=4).toPandas()
+    # self lands in its own bucket → always recalled at rank 1
+    top1 = approx[approx["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+
+
+def test_embedding_near_duplicates_threshold(spark):
+    spark_df = vectors(spark).limit(100)
+    out = embedding_near_duplicates(spark_df, threshold=0.99, num_planes=2).toPandas()
+    # threshold honored and pairs canonical
+    assert (out["cos"] >= 0.99).all()
+    assert (out["id_a"] < out["id_b"]).all()

@@ -1,0 +1,55 @@
+import hashlib
+
+from pyspark.sql import functions as F
+
+from distributed_graph_analytics_spark.functions.text import (
+    analyze_documents,
+    fingerprint_documents,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_analyze_documents_schema_and_ranges(spark):
+    out = analyze_documents(docs(spark)).collect()
+    assert len(out) == 500
+    for r in out[:50]:
+        assert r["ws_tokens"] >= 1
+        assert r["bpe_tokens"] >= r["ws_tokens"] - 1  # regex splits punctuation too
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_guess"] in ("en", "de", "fr", "es", "und")
+
+
+def test_token_count_exact(spark):
+    df = spark.createDataFrame([(1, "hello world, foo bar!")], "doc_id long, text string")
+    r = analyze_documents(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # hello/world/,/foo/bar/! → 6
+    assert r["bpe_tokens"] == 6
+
+
+def test_fingerprint_stability_and_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["fingerprint"], r["content_sha256"]) for r in fingerprint_documents(df).collect()}
+    assert out[1] == out[2]  # whitespace/case normalized
+    assert out[1] != out[3]
+    assert out[1][1] == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_quality_monotonic_on_garbage(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills in a day"),
+            (2, "!!! ### $$$ %%% ^^^ &&&"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality"] for r in analyze_documents(df).collect()}
+    assert q[1] > q[2]

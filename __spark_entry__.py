@@ -36,6 +36,9 @@ from distributed_graph_analytics_spark.operators.triangle import (  # noqa: E402
 from distributed_graph_analytics_spark.operators.wcc import (  # noqa: E402
     weakly_connected_components,
 )
+from distributed_graph_analytics_spark.sources.edges import (  # noqa: E402
+    reverse_duplicate,
+)
 from distributed_graph_analytics_spark.sources.repo_table import (  # noqa: E402
     EDGE_BUILD_ORACLE_SQL,
     edges_from_repo_table,
@@ -145,7 +148,7 @@ def _leaf_compression_unrolled_sql(rounds: int) -> str:
     point)."""
     ctes = [
         """e0 AS MATERIALIZED (
-  SELECT src, dst FROM edges
+  SELECT u AS src, v AS dst FROM sym
 ), v0 AS MATERIALIZED (
   SELECT src AS id FROM e0 UNION SELECT dst FROM e0
 )"""
@@ -167,7 +170,7 @@ def _leaf_compression_unrolled_sql(rounds: int) -> str:
 
 _PR_FIXED_ITERS = 10
 _WCC_ROUNDS = 20
-_LC_ROUNDS = 12
+_LC_ROUNDS = 4
 
 
 # --------------------------------------------------------------------------
@@ -218,7 +221,12 @@ def _q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_leaf_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    verts, _edges, _ = leaf_compression(load_edges(spark, sf_dir))
+    # undirected semantics via reverse duplication (reference S3/G9):
+    # on the canonical src<dst co-occurrence DAG, directed LC
+    # degenerates (top ids have out-degree 0 → cascades ~70 rounds to an
+    # empty graph); the undirected form is the meaningful one here and
+    # the directed reference semantics stay covered by the fixture tests
+    verts, _edges, _ = leaf_compression(reverse_duplicate(load_edges(spark, sf_dir)))
     return verts.select("id")
 
 

@@ -1,0 +1,89 @@
+"""Benchmark harness: PageRank + WCC edges/sec to convergence on the
+repo co-occurrence edge table (BASELINE.json primary metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": ..., "edges": N,
+   "edges_per_sec": {...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+The timed region starts at the materialized edge table (the metric is
+defined over the edge table; the co-occurrence build is reported
+separately as edge_build).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark import StorageLevel
+
+
+def main() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from distributed_graph_analytics_spark.session import get_spark
+    from distributed_graph_analytics_spark.operators.pagerank import pagerank
+    from distributed_graph_analytics_spark.operators.wcc import (
+        weakly_connected_components,
+    )
+    from __spark_entry__ import load_edges
+
+    spark = get_spark(
+        "dga-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    ranks, pr_stats = pagerank(edges)
+    n_ranked = ranks.count()
+    t_pr = time.time() - t0
+
+    t0 = time.time()
+    comps, wcc_stats = weakly_connected_components(edges)
+    n_comp = comps.select("component").distinct().count()
+    t_wcc = time.time() - t0
+
+    total = t_pr + t_wcc
+    result = {
+        "metric": "pagerank+wcc seconds to convergence (repo co-occurrence edge table)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "edge_build": round(t_build, 3),
+            "pagerank": round(t_pr, 3),
+            "wcc": round(t_wcc, 3),
+        },
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "edges": n_edges,
+        "vertices": n_ranked,
+        "components": n_comp,
+        "pr_iterations": pr_stats.iterations,
+        "wcc_iterations": wcc_stats.iterations,
+        "edges_per_sec": {
+            "pagerank": round(n_edges * pr_stats.iterations / t_pr),
+            "wcc": round(n_edges * wcc_stats.iterations / t_wcc),
+            "combined_to_convergence": round(n_edges / total),
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

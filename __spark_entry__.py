@@ -36,6 +36,26 @@ from distributed_graph_analytics_spark.operators.triangle import (  # noqa: E402
 from distributed_graph_analytics_spark.operators.wcc import (  # noqa: E402
     weakly_connected_components,
 )
+from distributed_graph_analytics_spark.operators.louvain import louvain  # noqa: E402
+from distributed_graph_analytics_spark.operators.hbse import hbse  # noqa: E402
+from distributed_graph_analytics_spark.operators.neighboring_communities import (  # noqa: E402
+    neighboring_communities,
+)
+from distributed_graph_analytics_spark.functions.text import (  # noqa: E402
+    analyze_documents,
+    fingerprint_documents,
+)
+from distributed_graph_analytics_spark.functions.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from distributed_graph_analytics_spark.functions.similarity import (  # noqa: E402
+    brute_force_cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_cosine_topk,
+)
 from distributed_graph_analytics_spark.sources.edges import (  # noqa: E402
     reverse_duplicate,
 )
@@ -241,6 +261,103 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("id", "label")
 
 
+def _q_louvain_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-level community assignment (north rule item); modularity/label
+    # parity pinned by tests/test_louvain.py against the reference goldens
+    res = louvain(load_edges(spark, sf_dir), min_progress=2000, progress_counter=1)
+    return res.level0.select("id", "community")
+
+
+def _q_hbse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Brandes on a deterministic 64-pivot batch (budget-capped
+    # approximation, the reference's sampling mode); exact-value parity
+    # on full coverage pinned by tests/test_hbse.py
+    btwn, _top, _ = hbse(
+        load_edges(spark, sf_dir), k=10, pivot_batch_size=64, pivot_budget=64
+    )
+    return btwn.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _q_neighboring_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighboring_communities(load_edges(spark, sf_dir)).select(
+        "src", "src_community", "dst", "dst_community", "component", "cross_community"
+    )
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return analyze_documents(docs)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_documents(docs).select("doc_id", "content_sha256")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs).select("content_sha256", "n_dups", "keep_id")
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, k=8, threshold=0.8).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs)
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_cosine_topk(vecs, qs, k=5).select(
+        "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_cosine_topk(vecs, qs, k=5, num_planes=4)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(vecs, threshold=0.9, num_planes=2)
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of streaming.events.streaming_event_rollup (exact
+    # count(distinct) instead of approx; hour buckets via date_trunc so
+    # the oracle matches bit-for-bit)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank to convergence on the sf0.001 co-occurrence graph."""
     return _q_pagerank_converged(spark, "/root/testdata/sf0.001")
@@ -257,6 +374,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leaf_compression": _q_leaf_compression,
         "triangles": _q_triangles,
         "label_propagation": _q_label_propagation,
+        "louvain_level0": _q_louvain_level0,
+        "hbse": _q_hbse,
+        "neighboring_communities": _q_neighboring_communities,
+        "doc_stats": _q_doc_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_rollup": _q_events_rollup,
     }
 
 
@@ -292,8 +422,101 @@ FROM vertices v
 LEFT JOIN (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id) t
   ON t.id = v.id
 """,
-        # "pagerank" (to convergence) and "label_propagation": no SQL
-        # oracle — convergence iteration counts are data-dependent;
-        # correctness is pinned by tests/test_pagerank.py (allclose 1e-6
-        # vs the Giraph-semantics oracle) and tests/test_lpa.py.
+        "doc_fingerprint": """
+SELECT doc_id,
+       sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_sha256
+FROM documents
+""",
+        "dedup_exact": """
+WITH hashed AS (
+    SELECT doc_id,
+           sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_sha256
+    FROM documents
+)
+SELECT content_sha256,
+       COUNT(*) AS n_dups,
+       MIN(doc_id) AS keep_id
+FROM hashed
+GROUP BY content_sha256
+HAVING COUNT(*) > 1
+""",
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(k=8, threshold=0.8),
+        "ann_cosine_topk": _ann_topk_oracle_sql(k=5, n_queries=5),
+        "events_rollup": """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+        # No SQL oracle (driver records rows-only) for:
+        # - "pagerank" (to convergence) / "label_propagation": iteration
+        #   counts are data-dependent; pinned by tests/test_pagerank.py
+        #   (allclose 1e-6 vs the Giraph-semantics oracle) and
+        #   tests/test_lpa.py;
+        # - "louvain_level0" / "hbse" / "neighboring_communities":
+        #   iterative/multi-level; pinned by tests/test_louvain.py
+        #   (reference golden Q=0.4134948...) and tests/test_hbse.py
+        #   (exact Brandes values);
+        # - "dedup_minhash_lsh" / "dedup_simhash" / "ann_lsh_topk" /
+        #   "embedding_near_dup": depend on xxhash64, which DuckDB lacks;
+        #   pinned by tests/test_dedup.py and tests/test_similarity.py;
+        # - "doc_stats": mixed regex dialects; pinned by
+        #   tests/test_text_functions.py.
     }
+
+
+def _ngram_jaccard_oracle_sql(k: int, threshold: float) -> str:
+    """DuckDB twin of functions.dedup.ngram_jaccard_pairs (all-pairs
+    mode): k-word shingles of whitespace-normalized lowercased text."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i : i + {k - 1}], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - {k - 1}, 1))) AS g(i)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+"""
+
+
+def _ann_topk_oracle_sql(k: int, n_queries: int) -> str:
+    """DuckDB twin of the brute-force cosine top-k (query ids < n_queries;
+    tie-break matches sort_array(struct(cos, vec_id)) desc = cos DESC,
+    vec_id DESC)."""
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < {n_queries}
+), scored AS (
+    SELECT q.query_id, v.vec_id,
+           list_dot_product(q.q_emb, v.emb)
+             / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                * sqrt(list_dot_product(v.emb, v.emb))) AS cos_raw
+    FROM q CROSS JOIN v
+), ranked AS (
+    SELECT query_id, vec_id, cos_raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, vec_id DESC) AS rank
+    FROM scored
+)
+SELECT query_id, rank, vec_id, round(round(cos_raw, 9), 6) AS cos
+FROM ranked WHERE rank <= {k}
+"""

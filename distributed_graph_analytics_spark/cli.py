@@ -1,0 +1,149 @@
+"""CLI mirroring the reference's analytic-name dispatch.
+
+Reference: dga-graphx DGARunner.scala:43-131 — ``dga-graphx <analytic>
+-i <input> -o <output> -d <delimiter> ...`` with analytics
+``wcc|hbse|louvain|lc|pr|neighboringCommunities``; Giraph twin
+DGARunner.java:54-170. Here::
+
+    spark-submit --py-files dga.zip -m distributed_graph_analytics_spark.cli \
+        <analytic> -i edges.csv -o out/ [-d ','] [--sf-dir DIR] ...
+
+Input is either a delimited edge list (-i) or the synthesized repo
+table (--sf-dir). Output is parquet (the reference wrote delimited
+text; pass --format csv for parity fixtures, sinks S6-S14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+ANALYTICS = (
+    "wcc", "pr", "lc", "louvain", "lpa", "hbse", "triangles",
+    "neighboringCommunities",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dga-spark")
+    p.add_argument("analytic", choices=ANALYTICS)
+    p.add_argument("-i", "--input", help="delimited edge list path")
+    p.add_argument("--sf-dir", help="testdata dir (repo-table ingest) instead of -i")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-d", "--delimiter", default=",")
+    p.add_argument("--format", default="parquet", choices=("parquet", "csv"))
+    p.add_argument("--master", default=None)
+    p.add_argument("--parallelism", type=int, default=None)
+    # analytic knobs (reference defaults: DGARunner.scala:52-57)
+    p.add_argument("--delta", type=float, default=0.001, help="PR epsilon")
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--minprogress", type=int, default=2000)
+    p.add_argument("--progresscounter", type=int, default=1)
+    p.add_argument("--k", type=int, default=10, help="HBSE top-K size")
+    p.add_argument("--pivot-batch-size", type=int, default=None)
+    p.add_argument("--max-iterations", type=int, default=200)
+    p.add_argument("--reverse", action="store_true", help="reverse-edge duplication")
+    p.add_argument("--checkpoint-dir", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from distributed_graph_analytics_spark.session import get_spark
+    from distributed_graph_analytics_spark.sources.edges import read_edge_list
+    from distributed_graph_analytics_spark.plans.checkpoint import CheckpointManager
+
+    spark = get_spark("dga-" + args.analytic, master=args.master,
+                      shuffle_partitions=args.parallelism)
+    if args.input:
+        edges = read_edge_list(spark, args.input, args.delimiter, reverse=args.reverse)
+    elif args.sf_dir:
+        from __spark_entry__ import load_edges
+
+        edges = load_edges(spark, args.sf_dir)
+    else:
+        print("need -i or --sf-dir", file=sys.stderr)
+        return 2
+
+    ckpt = (
+        CheckpointManager(spark, args.checkpoint_dir) if args.checkpoint_dir else None
+    )
+    t0 = time.time()
+    out = dispatch(args, edges, ckpt)
+    writer = out.write.mode("overwrite")
+    if args.format == "csv":
+        writer.option("header", True).csv(args.output)
+    else:
+        writer.parquet(args.output)
+    print(f"{args.analytic} done in {time.time() - t0:.1f}s -> {args.output}")
+    spark.stop()
+    return 0
+
+
+def dispatch(args, edges, ckpt):
+    a = args.analytic
+    if a == "wcc":
+        from distributed_graph_analytics_spark.operators.wcc import (
+            weakly_connected_components,
+        )
+
+        comp, _ = weakly_connected_components(
+            edges, args.max_iterations, checkpoint_manager=ckpt
+        )
+        # sink S7: src,dst,srcComponent per edge
+        return edges.join(
+            comp.withColumnRenamed("id", "src"), "src"
+        ).select("src", "dst", "component")
+    if a == "pr":
+        from distributed_graph_analytics_spark.operators.pagerank import pagerank
+
+        ranks, _ = pagerank(
+            edges, args.damping, args.delta, args.max_iterations,
+            checkpoint_manager=ckpt,
+        )
+        return ranks  # sink S8
+    if a == "lc":
+        from distributed_graph_analytics_spark.operators.leaf_compression import (
+            leaf_compression,
+        )
+
+        _verts, surviving, _ = leaf_compression(edges, args.max_iterations)
+        return surviving.select("src", "dst")  # sink S9
+    if a == "louvain":
+        from distributed_graph_analytics_spark.operators.louvain import louvain
+
+        res = louvain(edges, args.minprogress, args.progresscounter)
+        return res.final  # synthesized node -> final community (S10 + synthesizer)
+    if a == "lpa":
+        from distributed_graph_analytics_spark.operators.lpa import label_propagation
+
+        labels, _ = label_propagation(edges, max_iterations=10)
+        return labels
+    if a == "hbse":
+        from distributed_graph_analytics_spark.operators.hbse import hbse
+
+        btwn, _top, _ = hbse(edges, k=args.k, pivot_batch_size=args.pivot_batch_size)
+        return btwn  # sink S12 (full betweenness; top-K = orderBy limit)
+    if a == "triangles":
+        from distributed_graph_analytics_spark.operators.triangle import (
+            triangle_count_per_vertex,
+        )
+
+        return triangle_count_per_vertex(edges)
+    if a == "neighboringCommunities":
+        from distributed_graph_analytics_spark.operators.neighboring_communities import (
+            neighboring_communities,
+        )
+
+        return neighboring_communities(
+            edges, args.minprogress, args.progresscounter
+        )  # sink S14
+    raise ValueError(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,7 @@ from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
 )
+from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 from distributed_graph_analytics_spark.sources.edges import undirected_view, vertices_of
 
 
@@ -40,16 +41,18 @@ def label_propagation(
         undirected_view(edges)
         .groupBy("u", "v")
         .agg(F.sum("weight").alias("w"))
-        .repartition(n_part, "v")
+        .repartition(n_part, "v")  # pin parallelism of the cached table
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vertices = vertices_of(edges)
+    vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = vertices.count()
     init = vertices.select("id", F.col("id").alias("label"))
     vote = F.sum("w") if weighted else F.count(F.lit(1))
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        bstate = maybe_broadcast(state, n)
         votes = (
-            nbrs.join(state, nbrs["v"] == state["id"])
+            nbrs.join(bstate, nbrs["v"] == bstate["id"])
             .groupBy(F.col("u").alias("vid"), "label")
             .agg(vote.alias("votes"))
         )
@@ -58,17 +61,19 @@ def label_propagation(
             F.max(F.struct("votes", "label")).alias("best")
         ).select(F.col("vid").alias("id"), F.col("best.label").alias("new_label"))
         new_state = (
-            state.join(best, "id", "left_outer")
+            state.join(maybe_broadcast(best, n), "id", "left_outer")
             .select(
                 "id",
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
         changed = new_state.where("changed").count()
         return new_state.select("id", "label"), {"changed": changed}
 
-    controller = IterationController(max_iterations=max_iterations)
+    controller = IterationController(
+        max_iterations=max_iterations, step_materializes=True
+    )
     final, stats = controller.run(
         init, step, converged=lambda m, i: m["changed"] == 0, name="lpa"
     )

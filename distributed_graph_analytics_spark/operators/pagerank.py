@@ -34,6 +34,7 @@ from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
 )
+from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 from distributed_graph_analytics_spark.sources.edges import vertices_of
 
 
@@ -43,6 +44,7 @@ def pagerank(
     epsilon: float = 0.001,
     max_iterations: int = 100,
     checkpoint_manager=None,
+    checkpoint_every: int = 10,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (ranks(id LONG, rank DOUBLE), stats)."""
@@ -50,30 +52,36 @@ def pagerank(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # contribution edges: (src, dst, 1/out_deg) — built once, partitioned
-    # on src (the per-superstep join key), persisted for the whole run
-    contrib_edges = (
-        edges.select("src", "dst")
-        .join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
-        .repartition(n_part, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # contribution edges: (src, dst, 1/out_deg) — built once and persisted
+    contrib_edges = edges.select("src", "dst").join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
     )
     vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
+    # pin the persisted loop-invariant table to n_part partitions keyed by
+    # the superstep join key: (a) AQE would otherwise coalesce the cached
+    # table to a handful of partitions (sized for one-shot reads), capping
+    # every superstep's parallelism; (b) when the state side is too big to
+    # broadcast, the shuffle-hash join reuses this exact layout
+    contrib_edges = contrib_edges.repartition(n_part, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     teleport = (1.0 - damping) / n
     init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        # broadcast-or-shuffle: state is a stats-less LogicalRDD, so the
+        # decision is made explicitly from the known vertex count
+        bstate = maybe_broadcast(state, n)
         contribs = (
-            contrib_edges.join(state, contrib_edges["src"] == state["id"])
+            contrib_edges.join(bstate, contrib_edges["src"] == bstate["id"])
             .select(F.col("dst").alias("id"), (F.col("rank") * F.col("inv_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("msg_sum"))
         )
         new_state = (
             state.withColumnRenamed("rank", "old_rank")
-            .join(contribs, "id", "left_outer")
+            .join(maybe_broadcast(contribs, n), "id", "left_outer")
             .select(
                 "id",
                 (
@@ -82,14 +90,17 @@ def pagerank(
                 ).alias("rank"),
                 "old_rank",
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)  # single materialization per superstep
         max_delta = new_state.agg(
             F.max(F.abs(F.col("rank") - F.col("old_rank")) / F.col("old_rank"))
         ).first()[0]
         return new_state.select("id", "rank"), {"max_delta": float(max_delta)}
 
     controller = IterationController(
-        max_iterations=max_iterations, checkpoint_manager=checkpoint_manager
+        max_iterations=max_iterations,
+        checkpoint_manager=checkpoint_manager,
+        checkpoint_every=checkpoint_every,
+        step_materializes=True,
     )
     final, stats = controller.run(
         init,

@@ -30,6 +30,7 @@ from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
 )
+from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 from distributed_graph_analytics_spark.sources.edges import vertices_of
 
 
@@ -37,6 +38,7 @@ def weakly_connected_components(
     edges: DataFrame,
     max_iterations: int = 200,
     checkpoint_manager=None,
+    checkpoint_every: int = 10,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (components(id LONG, component LONG), stats).
@@ -46,16 +48,20 @@ def weakly_connected_components(
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # symmetric, deduped adjacency; partitioned by v (the probe side of
-    # every superstep's join) so iterations reuse one layout
+    # symmetric, deduped adjacency (one shuffle: the distinct)
     nbrs = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
-        .repartition(n_part, "v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vertices = vertices_of(edges)
+    vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = vertices.count()
+    # pin the persisted adjacency to n_part partitions keyed by the
+    # superstep join key — AQE would otherwise coalesce the cached table
+    # to a handful of partitions, capping every superstep's parallelism;
+    # when the frontier is too big to broadcast the shuffle-hash join
+    # reuses this exact layout
+    nbrs = nbrs.repartition(n_part, "v").persist(StorageLevel.MEMORY_AND_DISK)
     # state carries the frontier flag; superstep 0 = everyone active
     init = vertices.select(
         F.col("id"), F.col("id").alias("component"), F.lit(True).alias("changed")
@@ -63,16 +69,18 @@ def weakly_connected_components(
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         frontier = state.where("changed").select("id", "component")
-        # messages: each frontier vertex pushes its label to all neighbors
+        # messages: each frontier vertex pushes its label to all
+        # neighbors; frontier ≤ n rows → broadcast-or-shuffle decided
+        # from the known vertex count (state is a stats-less LogicalRDD)
         msgs = (
-            nbrs.join(frontier, nbrs["v"] == frontier["id"])
+            nbrs.join(maybe_broadcast(frontier, n), nbrs["v"] == frontier["id"])
             .select(F.col("u").alias("id"), F.col("component").alias("cand"))
             .groupBy("id")
             .agg(F.max("cand").alias("cand"))
         )
         new_state = (
             state.select("id", "component")
-            .join(msgs, "id", "left_outer")
+            .join(maybe_broadcast(msgs, n), "id", "left_outer")
             .select(
                 "id",
                 F.greatest("component", "cand").alias("component"),
@@ -84,15 +92,19 @@ def weakly_connected_components(
                 F.coalesce("changed_raw", F.lit(False)).alias("changed"),
             )
         )
-        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        new_state = new_state.localCheckpoint(eager=True)  # one job/superstep
         changed = new_state.where("changed").count()
         return new_state, {"changed": changed}
 
     controller = IterationController(
-        max_iterations=max_iterations, checkpoint_manager=checkpoint_manager
+        max_iterations=max_iterations,
+        checkpoint_manager=checkpoint_manager,
+        checkpoint_every=checkpoint_every,
+        step_materializes=True,
     )
     final, stats = controller.run(
         init, step, converged=lambda m, i: m["changed"] == 0, name="wcc"
     )
     nbrs.unpersist()
+    vertices.unpersist()
     return final.select("id", "component"), stats

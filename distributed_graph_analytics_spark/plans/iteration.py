@@ -46,12 +46,18 @@ class IterationController:
         checkpoint_every: int = 10,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         eager_localcheckpoint: bool = True,
+        step_materializes: bool = False,
     ):
         self.max_iterations = max_iterations
         self.checkpoint_manager = checkpoint_manager
         self.checkpoint_every = checkpoint_every
         self.storage_level = storage_level
         self.eager = eager_localcheckpoint
+        # step_materializes=True → the step function already returned a
+        # localCheckpoint'ed DataFrame (it usually wants to compute its
+        # convergence scalar from the materialized state anyway, saving
+        # one job per superstep); the controller then skips its own.
+        self.step_materializes = step_materializes
 
     def run(
         self,
@@ -76,10 +82,13 @@ class IterationController:
                 state, start_iter = resumed
         current = state.localCheckpoint(eager=self.eager)
         for i in range(start_iter + 1, self.max_iterations + 1):
+            t_iter = time.time()
             new_state, metrics = step(current, i)
+            metrics["sec"] = round(time.time() - t_iter, 3)
             # Truncate lineage: the new plan must not reference the old
             # generation, or iteration k carries k joins of history.
-            new_state = new_state.localCheckpoint(eager=self.eager)
+            if not self.step_materializes:
+                new_state = new_state.localCheckpoint(eager=self.eager)
             current.unpersist()
             current = new_state
             stats.iterations = i

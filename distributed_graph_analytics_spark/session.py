@@ -35,6 +35,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative state lives in LogicalRDDs (localCheckpoint) with no
+        # stats, so SMJ would be picked by default; hash joins win for
+        # the per-superstep equi-joins
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # iterative loops localCheckpoint per superstep; the blocks are
         # freed by the ContextCleaner only after a driver GC — force one

@@ -1,0 +1,101 @@
+import math
+
+import pytest
+
+from tests.conftest import edges_df
+from tests import fixture_graphs as G
+
+from distributed_graph_analytics_spark.operators.hbse import hbse
+
+
+def brandes_oracle(edge_list):
+    """Exact directed Brandes betweenness (unit distances via weight=1
+    edges), pure Python."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    verts = set()
+    for e in edge_list:
+        s, d = int(e[0]), int(e[1])
+        if d not in adj[s]:
+            adj[s].append(d)
+        verts.add(s)
+        verts.add(d)
+    btwn = {v: 0.0 for v in verts}
+    for s in verts:
+        # BFS (unit weights)
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += (sigma[v] / sigma[w]) * (1 + delta[w])
+            if w != s:
+                btwn[w] += delta[w]
+    return btwn
+
+
+def run_hbse(spark, edge_list, **kw):
+    btwn, topk, stats = hbse(edges_df(spark, edge_list), **kw)
+    return {r["id"]: r["betweenness"] for r in btwn.collect()}, stats
+
+
+@pytest.mark.parametrize(
+    "edge_list,expect",
+    [
+        (G.HBSE_SMALL, G.HBSE_SMALL_EXPECT),
+        (G.HBSE_BROKER, G.HBSE_BROKER_EXPECT),
+        (G.HBSE_STAR_OUT, {v: 0.0 for v in range(1, 7)}),
+    ],
+)
+def test_hbse_exact_reference_fixtures(spark, edge_list, expect):
+    got, stats = run_hbse(spark, edge_list)
+    assert set(got) == set(expect)
+    for v, want in expect.items():
+        assert math.isclose(got[v], want, abs_tol=1e-9), (v, got[v], want)
+
+
+def test_hbse_matches_brandes_on_cliques(spark):
+    got, _ = run_hbse(spark, G.TWO_CLIQUES_BRIDGED)
+    want = brandes_oracle(G.TWO_CLIQUES_BRIDGED)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_hbse_fixture_oracle_consistency():
+    # sanity: the pure-python Brandes reproduces the reference's golden
+    # values (HighBetweennessCoreTest.scala)
+    assert brandes_oracle(G.HBSE_SMALL) == G.HBSE_SMALL_EXPECT
+    assert brandes_oracle(G.HBSE_BROKER) == G.HBSE_BROKER_EXPECT
+
+
+def test_hbse_batched_pivots_cover_all(spark):
+    # two batches of 5 pivots over 9 vertices == exact when budget = n
+    got_batched, stats = run_hbse(
+        spark, G.HBSE_BROKER, pivot_batch_size=5, stability_cutoff=-1
+    )
+    assert stats.batches >= 2
+    for v, want in G.HBSE_BROKER_EXPECT.items():
+        assert math.isclose(got_batched[v], want, abs_tol=1e-9)
+
+
+def test_hbse_top_k_ordering(spark):
+    _, topk, _ = hbse(edges_df(spark, G.HBSE_SMALL), k=3)
+    rows = topk.collect()
+    assert [r["id"] for r in rows][:2] == [1, 2]  # btwn 2.0, 1.0
+    vals = [r["betweenness"] for r in rows]
+    assert vals == sorted(vals, reverse=True)

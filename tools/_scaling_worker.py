@@ -1,0 +1,82 @@
+"""One scaling-bench measurement in a fresh JVM (invoked by
+bench_scaling.py). Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+
+def replicated_edges(spark, sf_dir: str, replicate: int):
+    """R disjoint copies of the co-occurrence graph (ids offset by copy
+    index) — deterministic scale-up of the same input."""
+    from __spark_entry__ import load_edges
+
+    edges = load_edges(spark, sf_dir)
+    if replicate <= 1:
+        return edges
+    offset = 10_000_000  # above any file id
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("rep")
+    return edges.select("src", "dst", "weight", rep).select(
+        (F.col("src") + F.col("rep") * offset).alias("src"),
+        (F.col("dst") + F.col("rep") * offset).alias("dst"),
+        "weight",
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+
+    from distributed_graph_analytics_spark.session import get_spark
+    from distributed_graph_analytics_spark.operators.pagerank import pagerank
+    from distributed_graph_analytics_spark.operators.wcc import (
+        weakly_connected_components,
+    )
+
+    spark = get_spark(
+        f"dga-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    edges = replicated_edges(spark, sf_dir, replicate).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_edges = edges.count()
+
+    t0 = time.time()
+    ranks, pr_stats = pagerank(edges)
+    n_v = ranks.count()
+    pr_sec = time.time() - t0
+
+    t0 = time.time()
+    comps, wcc_stats = weakly_connected_components(edges)
+    comps.count()
+    wcc_sec = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "edges": n_edges,
+                "vertices": n_v,
+                "pr_sec": round(pr_sec, 3),
+                "wcc_sec": round(wcc_sec, 3),
+                "pr_iters": pr_stats.iterations,
+                "wcc_iters": wcc_stats.iterations,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

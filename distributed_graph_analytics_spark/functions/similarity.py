@@ -95,18 +95,24 @@ def hyperplane_buckets(
     reproducible across cluster sizes.
     """
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-    bits = []
-    for p in range(num_planes):
-        # pseudo-random ±1 plane component per dimension
+
+    def _plane_projection(p: int):
+        # pseudo-random ±1 plane component per dimension; p is captured
+        # in a closure (a default arg would add a 3rd lambda parameter,
+        # which zip_with rejects)
         comp = F.zip_with(
             F.col(vec_col),
             dim_idx,
-            lambda x, i, p=p: x
+            lambda x, i: x
             * F.when(
                 F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0, 1.0
             ).otherwise(-1.0),
         )
-        proj = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+        return F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = []
+    for p in range(num_planes):
+        proj = _plane_projection(p)
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
     bucket = sum(bits)
     return vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"), bucket.alias("bucket"))

@@ -32,6 +32,16 @@ DataFrame re-expression (same math, set-at-a-time):
 With pivot coverage = all vertices this is exact directed Brandes (the
 fixtures assert exact values); with sampled batches it is the
 reference's approximation.
+
+Documented divergence: the reference's Pregel combiner keeps only the
+strictly-smaller distance per (vertex, pivot) when merging messages
+(mergeMapMessage, HighBetweennessCore.scala:625-648), so equal-distance
+messages from different predecessors arriving in the same superstep
+lose all but one predecessor — σ undercounts and the survivor depends
+on merge order (its golden 2.0/1.0 on HighBetweennessCoreTest.scala:39
+vs exact Brandes 2.5/0.5). We merge equal-distance predecessors
+(ShortestPathList.update semantics applied set-at-a-time), i.e. exact
+Brandes — deterministic and independently verifiable.
 """
 
 from __future__ import annotations
@@ -52,6 +62,7 @@ class HBSEStats:
     pivots_used: int = 0
     stability_runs: list[int] = field(default_factory=list)
     wall_seconds: float = 0.0
+    strategy: str = ""
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
@@ -109,8 +120,6 @@ def _shortest_paths(edges: DataFrame, pivots: DataFrame, max_iter: int = 10_000)
                 F.col("sigma").alias("npaths"),
             )
         )
-        if msgs.isEmpty():
-            break
         best = msgs.groupBy("pivot", "id").agg(F.min("nd").alias("nd"))
         cand = msgs.join(best, ["pivot", "id", "nd"])  # only min-distance msgs
         merged = cand.join(
@@ -151,7 +160,10 @@ def _shortest_paths(edges: DataFrame, pivots: DataFrame, max_iter: int = 10_000)
             )
             .unionByName(upserts)
         )
-        new_frontier = imp_keys.unionByName(changed_sigma).distinct()
+        # checkpoint the frontier as well: it feeds every plan of the
+        # next round, and an unmaterialized frontier would embed the
+        # whole previous round's dataflow → exponential recomputation
+        new_frontier = _checkpoint(imp_keys.unionByName(changed_sigma).distinct())
         n_changed = new_frontier.count()
         dist, preds, frontier = new_dist, new_preds, new_frontier
         if n_changed == 0:
@@ -224,6 +236,75 @@ def _dependencies(dist: DataFrame, preds: DataFrame) -> DataFrame:
     return out
 
 
+def _single_source_deps(adj: dict, s: int, dep_out: dict) -> None:
+    """Weighted single-source Brandes (Dijkstra order): accumulate
+    δ_s(w) for w != s into dep_out. Pure-Python kernel executed inside
+    the Arrow-batched worker; positive long weights."""
+    import heapq
+
+    dist = {s: 0}
+    sigma = {s: 1}
+    preds: dict = {}
+    done = set()
+    order = []
+    pq = [(0, s)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if v in done:
+            continue
+        done.add(v)
+        order.append(v)
+        sv = sigma[v]
+        for w, wt in adj.get(v, ()):
+            nd = d + wt
+            dw = dist.get(w)
+            if dw is None or nd < dw:
+                dist[w] = nd
+                sigma[w] = sv
+                preds[w] = [v]
+                heapq.heappush(pq, (nd, w))
+            elif nd == dw and w not in done:
+                sigma[w] += sv
+                preds[w].append(v)
+    delta: dict = {}
+    for w in reversed(order):
+        dw = delta.get(w, 0.0)
+        coef = (1.0 + dw) / sigma[w]
+        for p in preds.get(w, ()):
+            delta[p] = delta.get(p, 0.0) + sigma[p] * coef
+        if w != s and dw:
+            dep_out[w] = dep_out.get(w, 0.0) + dw
+
+
+def _batch_dependencies_broadcast(
+    pivots: DataFrame, adj_bc, n_part: int
+) -> DataFrame:
+    """Pivot-parallel Brandes: pivots are hash-grouped into n_part
+    tasks; each task runs the per-source kernel against the broadcast
+    adjacency and emits its partial (id, dep) sums, merged by one
+    groupBy. Sources are independent, so this scales linearly in the
+    pivot budget; it requires the (deduped) adjacency to fit in executor
+    memory — the dispatch in hbse() falls back to the DataFrame-loop
+    strategy above when it doesn't."""
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj = adj_bc.value
+        dep: dict = {}
+        for s in pdf["id"]:
+            _single_source_deps(adj, int(s), dep)
+        return pd.DataFrame(
+            {"id": pd.array(list(dep), dtype="int64"),
+             "dep": pd.array(list(dep.values()), dtype="float64")}
+        )
+
+    grouped = pivots.withColumn(
+        "_g", F.pmod(F.xxhash64("id"), F.lit(n_part)).cast("int")
+    )
+    parts = grouped.groupBy("_g").applyInPandas(run, "id long, dep double")
+    return parts.groupBy("id").agg(F.sum("dep").alias("dep"))
+
+
 def hbse(
     edges: DataFrame,
     k: int = 10,
@@ -232,6 +313,8 @@ def hbse(
     stability_counter: int = 1,
     pivot_budget: int | None = None,
     seed: int = 42,
+    strategy: str = "auto",
+    broadcast_max_edges: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame, HBSEStats]:
     """Returns (betweenness(id, betweenness), top_k_set(id, betweenness),
     stats).
@@ -240,6 +323,16 @@ def hbse(
     (DGARunner.java:114-118: maxSize=10, pivot.batch.size and
     vertex.count scaled to the graph here). pivot_batch_size=None →
     all vertices in one batch (exact Brandes, the fixture mode).
+
+    ``strategy``: "broadcast" runs one Brandes per pivot inside an
+    Arrow-batched applyInPandas task against a broadcast adjacency —
+    pivot-parallel, the fast path whenever the deduped edge list fits
+    in executor memory (mirrors how the reference keeps the whole graph
+    partition-resident per worker). "dataframe" is the set-at-a-time
+    BSP loop (_shortest_paths/_dependencies) that scales past memory.
+    "auto" picks by edge count vs ``broadcast_max_edges``. Both
+    strategies compute identical exact-Brandes values (pinned by
+    tests/test_hbse.py parity test).
     """
     t0 = time.time()
     stats = HBSEStats()
@@ -248,6 +341,29 @@ def hbse(
     n = vertices.count()
     batch = pivot_batch_size or n
     budget = min(pivot_budget or n, n)
+
+    dedup = edges.groupBy("src", "dst").agg(F.min("weight").alias("w"))
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if dedup.count() <= broadcast_max_edges else "dataframe"
+        )
+    stats.strategy = strategy
+    if strategy == "broadcast":
+        adj: dict = {}
+        for r in dedup.collect():
+            adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+        adj_bc = spark.sparkContext.broadcast(adj)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        def batch_dep_fn(pivots: DataFrame) -> DataFrame:
+            return _batch_dependencies_broadcast(pivots, adj_bc, n_part)
+
+    else:
+
+        def batch_dep_fn(pivots: DataFrame) -> DataFrame:
+            dist, preds = _shortest_paths(edges, pivots)
+            delta = _dependencies(dist, preds)
+            return delta.groupBy("id").agg(F.sum("dep").alias("dep"))
 
     betweenness = _checkpoint(
         vertices.select("id", F.lit(0.0).alias("betweenness"))
@@ -265,9 +381,7 @@ def hbse(
         n_pivots = pivots.count()
         if n_pivots == 0:
             break
-        dist, preds = _shortest_paths(edges, pivots)
-        delta = _dependencies(dist, preds)
-        batch_dep = delta.groupBy("id").agg(F.sum("dep").alias("dep"))
+        batch_dep = batch_dep_fn(pivots)
         betweenness = _checkpoint(
             betweenness.join(batch_dep, "id", "left_outer").select(
                 "id",

@@ -47,7 +47,9 @@ class CheckpointManager:
             .groupBy("_pid")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
-                F.sum(F.xxhash64(*written.columns)).alias("value_hash"),
+                # XOR-fold of per-row hashes: order-independent and, unlike
+                # sum(), can't hit ANSI-mode long overflow on big partitions.
+                F.bit_xor(F.xxhash64(*written.columns)).alias("value_hash"),
             )
             .collect()
         )

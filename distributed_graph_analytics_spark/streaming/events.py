@@ -13,16 +13,35 @@ transformations are source-agnostic).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """File-source event stream (one parquet dir). For Kafka, swap the
-    reader; downstream is identical."""
+    reader; downstream is identical.
+
+    The streaming file source only accepts directories; a single-file
+    path is read via its parent directory + a pathGlobFilter on the
+    file name (the driver testdata ships one file per table)."""
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        parent, fname = os.path.split(path)
+        return reader.option("pathGlobFilter", fname).parquet(parent)
+    return reader.parquet(path)
+
+
+def _instant_ts(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require an instant (TIMESTAMP) event-time column;
+    parquet sources often carry TIMESTAMP_NTZ — cast it (session-TZ
+    interpretation, UTC in this engine's sessions)."""
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
 
 
 def streaming_event_rollup(
@@ -33,6 +52,7 @@ def streaming_event_rollup(
     """Watermarked windowed aggregate: events per (window, event_type)
     with value stats. Late rows beyond the watermark are dropped —
     state is bounded, the requirement for an unbounded run."""
+    events = _instant_ts(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
@@ -54,29 +74,35 @@ def streaming_event_rollup(
 def streaming_edge_counts(
     events: DataFrame,
     watermark: str = "2 hours",
+    window: str = "1 hour",
 ) -> DataFrame:
     """Incremental co-occurrence edge accumulation: users co-acting in
-    the same (window, event_type) become weighted edges — the streaming
-    twin of the batch repo/commit co-occurrence builder. Emits per-window
-    pair counts; a downstream batch job folds windows into the edge
-    table."""
-    keyed = events.withWatermark("ts", watermark).select(
-        F.window("ts", "1 hour").alias("win"), "event_type", "user_id"
-    )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    the same (window, event_type) become edges — the streaming twin of
+    the batch repo/commit co-occurrence builder.
+
+    One stateful operator only: a watermarked windowed ``collect_set``
+    (bounded state, finalized windows emit in append mode), then a
+    stateless pair explosion — far cheaper than the naive stream-stream
+    self-join, whose state would hold every event twice for the full
+    watermark horizon. Emits per-(window, event_type) co-occurrence
+    pairs (weight 1 deltas); a downstream batch job folds windows into
+    the edge table."""
+    keyed = _instant_ts(events).withWatermark("ts", watermark)
+    grouped = keyed.groupBy(
+        F.window("ts", window).alias("win"), "event_type"
+    ).agg(F.sort_array(F.collect_set("user_id")).alias("users"))
     return (
-        a.join(
-            b,
-            (F.col("a.win") == F.col("b.win"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+        grouped.select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            F.explode("users").alias("src"),
+            "users",
         )
         .select(
-            F.col("a.win.start").alias("window_start"),
-            F.col("a.user_id").alias("src"),
-            F.col("b.user_id").alias("dst"),
+            "window_start", "event_type", "src", F.explode("users").alias("dst")
         )
-        .groupBy("window_start", "src", "dst")
-        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "window_start", "src", "dst", F.lit(1).cast("long").alias("weight")
+        )
     )

@@ -53,12 +53,15 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
 
 
 def test_streaming_edge_counts_runs(spark, tmp_path):
+    # append mode: windows finalized by the watermark emit exactly once;
+    # the 1-hour lag leaves only the trailing hour of the 30-day event
+    # range unemitted
     events = read_event_stream(spark, f"{SF_DIR}/events.parquet")
-    edges = streaming_edge_counts(events, watermark="100 hours")
+    edges = streaming_edge_counts(events, watermark="1 hour")
     q = (
         edges.writeStream.format("memory")
         .queryName("sedges")
-        .outputMode("complete")
+        .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck2"))
         .trigger(availableNow=True)
         .start()

@@ -346,9 +346,15 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count(distinct) instead of approx; hour buckets via date_trunc so
     # the oracle matches bit-for-bit)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # window_start as a formatted string: timestamp columns round-trip
+    # with engine-dependent precision (ns vs µs), which breaks the
+    # driver's value-hash comparison even when the instants are equal
     return (
         ev.groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -443,7 +449,7 @@ HAVING COUNT(*) > 1
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(k=8, threshold=0.8),
         "ann_cosine_topk": _ann_topk_oracle_sql(k=5, n_queries=5),
         "events_rollup": """
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n_events,
        round(SUM(value), 6) AS sum_value,

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
+from distributed_graph_analytics_spark.plans.iteration import truncate
 from distributed_graph_analytics_spark.sources.edges import vertices_of
 
 
@@ -66,7 +67,9 @@ class HBSEStats:
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    # materialized truncation — resets the carried size estimates that
+    # compound per loop round (see plans.iteration.truncate)
+    return truncate(df)
 
 
 def _shortest_paths(edges: DataFrame, pivots: DataFrame, max_iter: int = 10_000):

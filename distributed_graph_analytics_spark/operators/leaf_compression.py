@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
-from distributed_graph_analytics_spark.plans.iteration import IterationStats
+from distributed_graph_analytics_spark.plans.iteration import IterationStats, truncate
 from distributed_graph_analytics_spark.sources.edges import vertices_of
 
 import time
@@ -31,7 +31,7 @@ def leaf_compression(
     """Returns (surviving_vertices(id), surviving_edges(src,dst,weight), stats)."""
     t0 = time.time()
     stats = IterationStats()
-    cur_edges = edges.localCheckpoint(eager=True)
+    cur_edges = truncate(edges)
     cur_vertices = vertices_of(cur_edges).persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = cur_vertices.count()
     for i in range(1, max_iterations + 1):
@@ -47,7 +47,8 @@ def leaf_compression(
         new_edges = cur_edges.join(
             keep.withColumnRenamed("id", "src"), "src", "left_semi"
         ).join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-        new_edges = new_edges.select(*cur_edges.columns).localCheckpoint(eager=True)
+        # stats-safe truncation per pass (see plans.iteration.truncate)
+        new_edges = truncate(new_edges.select(*cur_edges.columns))
         new_vertices = keep.persist(StorageLevel.MEMORY_AND_DISK)
         new_count = new_vertices.count()
         stats.iterations = i

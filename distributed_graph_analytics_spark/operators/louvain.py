@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
+from distributed_graph_analytics_spark.plans.iteration import truncate
+
 
 _DEC = "decimal(38,12)"
 
@@ -202,20 +204,19 @@ def louvain(
         q, state, passes = _louvain_level_with_internal(
             cur_edges, internal, min_progress, progress_counter
         )
-        assignment = state.select("id", "community").localCheckpoint(eager=True)
+        assignment = truncate(state.select("id", "community"))
         result.levels.append(LouvainLevel(level=level, q=q, cycles=passes, assignment=assignment))
         if level == 0:
             result.level0 = assignment
             mapping = assignment  # original id -> community
         else:
-            mapping = (
+            mapping = truncate(
                 mapping.withColumnRenamed("community", "prev")
                 .join(
                     assignment.withColumnRenamed("id", "prev"),
                     "prev",
                 )
                 .select("id", "community")
-                .localCheckpoint(eager=True)
             )
         if not (q > q_prev + 0.001):
             break
@@ -238,7 +239,7 @@ def louvain(
         internal_node_w = comm.groupBy("community").agg(
             F.sum("internal_w").alias("w_members")
         )
-        internal = (
+        internal = truncate(
             internal_node_w.join(internal_edge_w, "community", "left_outer")
             .select(
                 F.col("community").alias("id"),
@@ -246,9 +247,8 @@ def louvain(
                     "internal_w"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
-        cur_edges = (
+        cur_edges = truncate(
             triplets.where(F.col("src_comm") != F.col("dst_comm"))
             .select(
                 F.least("src_comm", "dst_comm").alias("src"),
@@ -257,7 +257,6 @@ def louvain(
             )
             .groupBy("src", "dst")
             .agg(F.sum("weight").alias("weight"))
-            .localCheckpoint(eager=True)
         )
     result.final = mapping
     result.wall_seconds = time.time() - t0
@@ -290,14 +289,16 @@ def _louvain_level_with_internal(
         )
     else:
         base = node_w.select("id", F.lit(0).cast("long").alias("internal_w"), "node_w")
-    state = base.select(
-        "id",
-        F.col("id").alias("community"),
-        (F.col("node_w") + F.col("internal_w")).alias("sigma_tot"),
-        "internal_w",
-        "node_w",
-        F.lit(False).alias("changed"),
-    ).localCheckpoint(eager=True)
+    state = truncate(
+        base.select(
+            "id",
+            F.col("id").alias("community"),
+            (F.col("node_w") + F.col("internal_w")).alias("sigma_tot"),
+            "internal_w",
+            "node_w",
+            F.lit(False).alias("changed"),
+        )
+    )
     merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
     m_total = int(
         state.agg(F.sum(F.col("internal_w") + F.col("node_w"))).first()[0] or 0
@@ -312,9 +313,7 @@ def _louvain_level_with_internal(
         count += 1
         even = not even
         msgs = _community_messages(state, merged)
-        new_state = _best_community(state, msgs, m_total, even).localCheckpoint(
-            eager=True
-        )
+        new_state = truncate(_best_community(state, msgs, m_total, even))
         state.unpersist()
         state = new_state
         if even:

@@ -60,15 +60,18 @@ def label_propagation(
         best = votes.groupBy("vid").agg(
             F.max(F.struct("votes", "label")).alias("best")
         ).select(F.col("vid").alias("id"), F.col("best.label").alias("new_label"))
-        new_state = (
-            state.join(maybe_broadcast(best, n), "id", "left_outer")
-            .select(
-                "id",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = new_state.where("changed").count()
+        new_state = state.join(maybe_broadcast(best, n), "id", "left_outer").select(
+            "id",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
+        )
+        # stats-safe truncation (see plans.iteration.truncate): the
+        # changed-count materializes the cache, the checkpoint then
+        # captures real sizes instead of compounding estimates
+        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = cached.where("changed").count()
+        new_state = cached.localCheckpoint(eager=True)
+        cached.unpersist()
         return new_state.select("id", "label"), {"changed": changed}
 
     controller = IterationController(

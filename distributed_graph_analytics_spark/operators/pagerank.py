@@ -90,11 +90,18 @@ def pagerank(
                 ).alias("rank"),
                 "old_rank",
             )
-        ).localCheckpoint(eager=True)  # single materialization per superstep
-        max_delta = new_state.agg(
+        )
+        # two jobs per superstep, stats-safe: the convergence agg
+        # materializes the cache (real sizes), then the checkpoint
+        # captures THOSE stats instead of the compounding estimates a
+        # bare localCheckpoint would carry (see plans.iteration.truncate)
+        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        max_delta = cached.agg(
             F.max(F.abs(F.col("rank") - F.col("old_rank")) / F.col("old_rank"))
         ).first()[0]
-        return new_state.select("id", "rank"), {"max_delta": float(max_delta)}
+        out = cached.select("id", "rank").localCheckpoint(eager=True)
+        cached.unpersist()
+        return out, {"max_delta": float(max_delta)}
 
     controller = IterationController(
         max_iterations=max_iterations,

@@ -92,8 +92,14 @@ def weakly_connected_components(
                 F.coalesce("changed_raw", F.lit(False)).alias("changed"),
             )
         )
-        new_state = new_state.localCheckpoint(eager=True)  # one job/superstep
-        changed = new_state.where("changed").count()
+        # two jobs per superstep, stats-safe: the frontier count
+        # materializes the cache (real sizes), then the checkpoint
+        # captures THOSE stats instead of the compounding estimates a
+        # bare localCheckpoint would carry (see plans.iteration.truncate)
+        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = cached.where("changed").count()
+        new_state = cached.localCheckpoint(eager=True)
+        cached.unpersist()
         return new_state, {"changed": changed}
 
     controller = IterationController(

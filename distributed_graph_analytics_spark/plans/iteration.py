@@ -30,6 +30,34 @@ from pyspark.sql import DataFrame
 from pyspark import StorageLevel
 
 
+def truncate(
+    df: DataFrame, storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Materialize + truncate lineage AND statistics.
+
+    ``localCheckpoint`` alone truncates the logical plan but carries the
+    child plan's *estimated* statistics into the new LogicalRDD
+    (LogicalRDD.fromDataset → rewriteStatsAndConstraints). In an
+    iterative loop where each superstep joins the state against itself
+    /messages, those estimates compound multiplicatively: sizeInBytes
+    digit count grows ~2-3x per iteration (measured 27→84→256→773→2322
+    digits over five Louvain cycles) until Catalyst's
+    SizeInBytesOnlyStatsPlanVisitor spends minutes in BigInteger
+    Karatsuba multiplication and the driver appears hung.
+
+    Fix: cache and materialize first — the stats captured by the
+    checkpoint are then the InMemoryRelation's REAL byte size, constant
+    across iterations. The extra pass reads the fresh cache, so it
+    costs one cheap job; planning actually gets faster because join
+    selection stops chewing on astronomical BigInts.
+    """
+    cached = df.persist(storage_level)
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 @dataclass
 class IterationStats:
     iterations: int = 0
@@ -80,7 +108,7 @@ class IterationController:
             resumed = self.checkpoint_manager.try_resume(name)
             if resumed is not None:
                 state, start_iter = resumed
-        current = state.localCheckpoint(eager=self.eager)
+        current = truncate(state, self.storage_level)
         for i in range(start_iter + 1, self.max_iterations + 1):
             t_iter = time.time()
             new_state, metrics = step(current, i)
@@ -88,7 +116,7 @@ class IterationController:
             # Truncate lineage: the new plan must not reference the old
             # generation, or iteration k carries k joins of history.
             if not self.step_materializes:
-                new_state = new_state.localCheckpoint(eager=self.eager)
+                new_state = truncate(new_state, self.storage_level)
             current.unpersist()
             current = new_state
             stats.iterations = i

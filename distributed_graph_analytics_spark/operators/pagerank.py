@@ -37,6 +37,11 @@ from distributed_graph_analytics_spark.plans.iteration import (
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 from distributed_graph_analytics_spark.sources.edges import vertices_of
 
+#: max out-neighbors packed into one adjacency-array row; hubs above
+#: this degree are salted across ceil(deg / ADJ_CHUNK) chunk rows so no
+#: single row (or its explode task) concentrates a hub's fan-out
+ADJ_CHUNK = 65_536
+
 
 def pagerank(
     edges: DataFrame,
@@ -51,31 +56,48 @@ def pagerank(
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # contribution edges: (src, dst, 1/out_deg) — built once and persisted
-    contrib_edges = edges.select("src", "dst").join(out_deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg")
+    # CSR-style adjacency blocks (north star: "range-partitioned
+    # CSR-style adjacency blocks persisted per iteration"): out-edges
+    # grouped per source into arrays, chunked so a hub vertex never
+    # produces one giant row (explicit hub salting — chunk key =
+    # hash(dst) % ceil(deg / max_adj_chunk)). vs a flat (src, dst)
+    # table this shrinks the per-superstep cache scan ~3x (one row +
+    # one packed array per source instead of out_deg rows) and the
+    # state join probes |V|-ish rows instead of |E|. out_deg counts
+    # parallel edges separately (Giraph sendMessageToAllEdges).
+    e_parted = edges.select("src", "dst").repartition(n_part, "src")
+    out_deg = e_parted.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    adj = (
+        e_parted.join(out_deg.hint("shuffle_hash"), "src")
+        .withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64("dst"),
+                F.greatest(
+                    (F.col("out_deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
+                ),
+            ),
+        )
+        .groupBy("src", "chunk", "out_deg")
+        .agg(F.collect_list("dst").alias("dsts"))
+        .select("src", "dsts", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
     )
     vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
-    # pin the persisted loop-invariant table to n_part partitions keyed by
-    # the superstep join key: (a) AQE would otherwise coalesce the cached
-    # table to a handful of partitions (sized for one-shot reads), capping
-    # every superstep's parallelism; (b) when the state side is too big to
-    # broadcast, the shuffle-hash join reuses this exact layout
-    contrib_edges = contrib_edges.repartition(n_part, "src").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     teleport = (1.0 - damping) / n
     init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        # broadcast-or-shuffle: state is a stats-less LogicalRDD, so the
-        # decision is made explicitly from the known vertex count
+        # broadcast-or-shuffle: decided explicitly from the known vertex
+        # count (broadcast small states; hinted shuffle-hash otherwise)
         bstate = maybe_broadcast(state, n)
         contribs = (
-            contrib_edges.join(bstate, contrib_edges["src"] == bstate["id"])
-            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("inv_deg")).alias("c"))
+            adj.join(bstate, adj["src"] == bstate["id"])
+            .select(
+                F.explode("dsts").alias("id"),
+                (F.col("rank") * F.col("inv_deg")).alias("c"),
+            )
             .groupBy("id")
             .agg(F.sum("c").alias("msg_sum"))
         )
@@ -115,6 +137,6 @@ def pagerank(
         converged=lambda m, i: i >= 2 and m["max_delta"] < epsilon,
         name="pagerank",
     )
-    contrib_edges.unpersist()
+    adj.unpersist()
     vertices.unpersist()
     return final, stats

@@ -30,6 +30,7 @@ from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
 )
+from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 from distributed_graph_analytics_spark.sources.edges import vertices_of
 
@@ -48,19 +49,37 @@ def weakly_connected_components(
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # symmetric, deduped adjacency (one shuffle: the distinct)
-    nbrs = (
+    # symmetric, deduped adjacency, packed into CSR-style array rows
+    # keyed by the *sender* v (north star: "CSR-style adjacency
+    # blocks"): per superstep the frontier joins |V|-ish packed rows
+    # instead of 2|E| flat rows, and the cache scan shrinks ~3x. Hub
+    # salting: receivers of a hub are split across ceil(deg/ADJ_CHUNK)
+    # chunk rows so no single row concentrates a hub's fan-out. The
+    # groupBy leaves the cached table hash-partitioned on v, the
+    # superstep join key, at full n_part parallelism.
+    sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
     )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    nbrs = (
+        sym.join(deg.hint("shuffle_hash"), "v")
+        .withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64("u"),
+                F.greatest(
+                    (F.col("deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
+                ),
+            ),
+        )
+        .groupBy("v", "chunk")
+        .agg(F.collect_list("u").alias("us"))
+        .select("v", "us")
+    )
     vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
-    # pin the persisted adjacency to n_part partitions keyed by the
-    # superstep join key — AQE would otherwise coalesce the cached table
-    # to a handful of partitions, capping every superstep's parallelism;
-    # when the frontier is too big to broadcast the shuffle-hash join
-    # reuses this exact layout
     nbrs = nbrs.repartition(n_part, "v").persist(StorageLevel.MEMORY_AND_DISK)
     # state carries the frontier flag; superstep 0 = everyone active
     init = vertices.select(
@@ -74,7 +93,7 @@ def weakly_connected_components(
         # from the known vertex count (state is a stats-less LogicalRDD)
         msgs = (
             nbrs.join(maybe_broadcast(frontier, n), nbrs["v"] == frontier["id"])
-            .select(F.col("u").alias("id"), F.col("component").alias("cand"))
+            .select(F.explode("us").alias("id"), F.col("component").alias("cand"))
             .groupBy("id")
             .agg(F.max("cand").alias("cand"))
         )

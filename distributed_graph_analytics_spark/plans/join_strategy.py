@@ -27,7 +27,16 @@ BROADCAST_ROW_THRESHOLD = 100_000
 
 
 def maybe_broadcast(df: DataFrame, n_rows: int | None, threshold: int = BROADCAST_ROW_THRESHOLD) -> DataFrame:
-    """Broadcast `df` when its known row count is under threshold."""
+    """Broadcast `df` when its known row count is under threshold,
+    else pin a shuffled hash join.
+
+    The explicit SHUFFLE_HASH hint on the large-state branch matters:
+    a checkpointed state reports its real (often < 64 MB) size, so
+    Catalyst would auto-broadcast it — rebuilding a driver-side
+    HashedRelation of the full vertex state EVERY superstep, a serial
+    ~1s/iteration cost that caps scaling (the N→4N efficiency
+    criterion). The hinted shuffle moves the same bytes as a parallel
+    exchange instead."""
     if n_rows is not None and n_rows <= threshold:
         return F.broadcast(df)
-    return df
+    return df.hint("shuffle_hash")

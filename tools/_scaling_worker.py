@@ -23,10 +23,12 @@ def replicated_edges(spark, sf_dir: str, replicate: int):
     if replicate <= 1:
         return edges
     offset = 10_000_000  # above any file id
-    rep = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("rep")
+    rep = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(replicate - 1).cast("long"))
+    ).alias("rep")
     return edges.select("src", "dst", "weight", rep).select(
-        (F.col("src") + F.col("rep") * offset).alias("src"),
-        (F.col("dst") + F.col("rep") * offset).alias("dst"),
+        (F.col("src") + F.col("rep") * F.lit(offset).cast("long")).alias("src"),
+        (F.col("dst") + F.col("rep") * F.lit(offset).cast("long")).alias("dst"),
         "weight",
     )
 

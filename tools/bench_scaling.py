@@ -57,8 +57,9 @@ def main():
     n_small = int(os.environ.get("SPARK_GRAFT_N", "8"))
     n_big = 4 * n_small
 
-    res_small = run_one(n_small, sf_dir, replicate)
-    res_big = run_one(n_big, sf_dir, replicate)
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    res_small = run_one(n_small, sf_dir, replicate, repeats)
+    res_big = run_one(n_big, sf_dir, replicate, repeats)
 
     t_small = res_small["pr_sec"] + res_small["wcc_sec"]
     t_big = res_big["pr_sec"] + res_big["wcc_sec"]

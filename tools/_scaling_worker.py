@@ -58,6 +58,10 @@ def main():
     ranks, pr_stats = pagerank(edges)
     n_v = ranks.count()
     pr_sec = time.time() - t0
+    # partial line first: a WCC failure/timeout must not lose the PR leg
+    print(json.dumps({"partial": "pr", "cpus": cpus, "edges": n_edges,
+                      "pr_sec": round(pr_sec, 3), "pr_iters": pr_stats.iterations}),
+          flush=True)
 
     t0 = time.time()
     comps, wcc_stats = weakly_connected_components(edges)

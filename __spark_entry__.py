@@ -188,9 +188,44 @@ def _leaf_compression_unrolled_sql(rounds: int) -> str:
     return _EDGES_CTE + ", " + ",\n".join(ctes) + f"\nSELECT id FROM v{rounds}"
 
 
+def _lpa_unrolled_sql(rounds: int) -> str:
+    """Weighted synchronous label propagation unrolled to the entry
+    query's fixed iteration budget (operators/lpa.py semantics: vote =
+    Σ merged edge weight per (vertex, neighbor label), argmax with ties
+    to the larger label). If LPA converges before `rounds`, the fixed
+    point is stable, so the unrolled result still matches."""
+    ctes = [
+        """nbr AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(weight) AS BIGINT) AS w FROM sym GROUP BY u, v
+), l0 AS (SELECT id, id AS label FROM vertices)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT vid AS id, label FROM (
+    SELECT n.u AS vid, l.label,
+           row_number() OVER (PARTITION BY n.u
+                              ORDER BY SUM(n.w) DESC, l.label DESC) AS rn
+    FROM nbr n JOIN l{k - 1} l ON l.id = n.v
+    GROUP BY n.u, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        _EDGES_CTE + ", " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+    )
+
+
+#: DuckDB hex-prefix twin of functions.dedup._hash64(family="sha2"):
+#: 60 bits from the first 15 hex chars of sha256
+def _sha60(expr: str) -> str:
+    return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
 _PR_FIXED_ITERS = 10
 _WCC_ROUNDS = 20
 _LC_ROUNDS = 4
+_LPA_ROUNDS = 5
 
 
 # --------------------------------------------------------------------------
@@ -295,13 +330,23 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_duplicates(docs).select("content_sha256", "n_dups", "keep_id")
+    # the synthesized documents contain no natural exact duplicates, so
+    # the query self-seeds a deterministic copy of doc_id < 20 (shifted
+    # ids) — the oracle comparison is then non-vacuous (20 dup groups)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    seeded = docs.unionByName(
+        docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        )
+    )
+    return exact_duplicates(seeded).select("content_sha256", "n_dups", "keep_id")
 
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sha2 hash family: statistically equivalent to xxhash64 (the
+    # production default) but reproducible in DuckDB → hard oracle
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=8, hash_family="sha2")
 
 
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +358,7 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_signatures(docs)
+    return simhash_signatures(docs, hash_family="sha2")
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,16 +374,33 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
     qs = vecs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucketed_cosine_topk(vecs, qs, k=5, num_planes=4)
+    return lsh_bucketed_cosine_topk(
+        vecs, qs, k=5, num_planes=4, hash_family="sha2"
+    ).select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_duplicates(vecs, threshold=0.9, num_planes=2)
+    # no natural pairs reach cosine 0.9 (measured max 0.513 at sf0.01),
+    # so the query self-seeds identical copies of vec_id < 10 — the
+    # oracle compares a non-vacuous 10-pair result; sha2 hash family
+    # makes the LSH buckets DuckDB-reproducible
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    seeded = vecs.unionByName(
+        vecs.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+        )
+    )
+    return embedding_near_duplicates(
+        seeded, threshold=0.9, num_planes=4, hash_family="sha2"
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,10 +496,14 @@ SELECT doc_id,
 FROM documents
 """,
         "dedup_exact": """
-WITH hashed AS (
+WITH seeded AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+), hashed AS (
     SELECT doc_id,
            sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_sha256
-    FROM documents
+    FROM seeded
 )
 SELECT content_sha256,
        COUNT(*) AS n_dups,
@@ -447,7 +513,13 @@ GROUP BY content_sha256
 HAVING COUNT(*) > 1
 """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(k=8, threshold=0.8),
+        "label_propagation": _lpa_unrolled_sql(_LPA_ROUNDS),
+        "doc_stats": _DOC_STATS_ORACLE_SQL,
+        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(k=5, num_hashes=16, bands=8),
+        "dedup_simhash": _SIMHASH_ORACLE_SQL,
         "ann_cosine_topk": _ann_topk_oracle_sql(k=5, n_queries=5),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(k=5, n_queries=5, num_planes=4),
+        "embedding_near_dup": _near_dup_oracle_sql(threshold=0.9, num_planes=4),
         "events_rollup": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
@@ -458,20 +530,194 @@ FROM events
 GROUP BY 1, 2
 """,
         # No SQL oracle (driver records rows-only) for:
-        # - "pagerank" (to convergence) / "label_propagation": iteration
-        #   counts are data-dependent; pinned by tests/test_pagerank.py
-        #   (allclose 1e-6 vs the Giraph-semantics oracle) and
-        #   tests/test_lpa.py;
+        # - "pagerank" (to convergence): iteration count is
+        #   data-dependent; pinned by tests/test_pagerank.py (allclose
+        #   1e-6 vs the Giraph-semantics oracle);
         # - "louvain_level0" / "hbse" / "neighboring_communities":
         #   iterative/multi-level; pinned by tests/test_louvain.py
         #   (reference golden Q=0.4134948...) and tests/test_hbse.py
-        #   (exact Brandes values);
-        # - "dedup_minhash_lsh" / "dedup_simhash" / "ann_lsh_topk" /
-        #   "embedding_near_dup": depend on xxhash64, which DuckDB lacks;
-        #   pinned by tests/test_dedup.py and tests/test_similarity.py;
-        # - "doc_stats": mixed regex dialects; pinned by
-        #   tests/test_text_functions.py.
+        #   (exact Brandes values).
     }
+
+
+_DOC_STATS_ORACLE_SQL = r"""
+WITH s AS (
+    SELECT doc_id,
+           length(text) AS n,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+           length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS bpe_tokens,
+           len(regexp_split_to_array(lower(trim(text)), '\s+')) AS words,
+           regexp_split_to_array(lower(text), '\s+') AS toks
+    FROM documents
+), h AS (
+    SELECT doc_id, n, alpha, punct, ws_tokens, bpe_tokens, words,
+           (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'an') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'or') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END) AS stop_hits,
+           (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END) AS h_en,
+           (CASE WHEN list_contains(toks, 'der') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'die') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'und') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'das') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'ist') THEN 1 ELSE 0 END) AS h_de,
+           (CASE WHEN list_contains(toks, 'le') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'la') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'et') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'les') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'des') THEN 1 ELSE 0 END) AS h_fr,
+           (CASE WHEN list_contains(toks, 'el') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'la') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'que') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'de') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'los') THEN 1 ELSE 0 END) AS h_es
+    FROM s
+)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       round((least(n / 500.0, 1.0)
+              + alpha / greatest(n, 1)
+              + least(stop_hits / 4.0, 1.0)
+              + (1.0 - least(punct / greatest(words, 1), 1.0))) / 4.0, 6) AS quality,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM h
+"""
+
+
+def _minhash_lsh_oracle_sql(k: int, num_hashes: int, bands: int) -> str:
+    """DuckDB twin of functions.dedup.minhash_lsh_candidates with the
+    sha2 hash family (60-bit sha256-prefix hashes)."""
+    rows_per_band = num_hashes // bands
+    mh = _sha60("concat(shingle, ':', seed)")
+    bh = _sha60("array_to_string(list_sort(list(concat(seed, ':', minhash))), ',')")
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i : i + {k - 1}], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - {k - 1}, 1))) AS g(i)
+), mh AS MATERIALIZED (
+    SELECT doc_id, seed, MIN({mh}) AS minhash
+    FROM sh, unnest(generate_series(0, {num_hashes - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+), banded AS MATERIALIZED (
+    SELECT doc_id, (seed // {rows_per_band})::INT AS band, {bh} AS band_hash
+    FROM mh
+    GROUP BY doc_id, (seed // {rows_per_band})::INT
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+_SIMHASH_ORACLE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_sha60("tok")} AS h
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+), votes AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM toks, unnest(generate_series(0, 62)) AS g(i)
+    GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _hyperplane_bucket_ctes(num_planes: int, seed: int = 42) -> str:
+    """Shared CTE tail: per-vector LSH bucket from sha2-family
+    hyperplanes over `v(vec_id, emb)` (similarity.hyperplane_buckets
+    twin: projections rounded to 6 decimals before the sign test)."""
+    digit = f"('0x' || substr(sha256(concat({seed}, ':', p, ':', i)), 1, 1))::INT % 2"
+    return f"""proj AS MATERIALIZED (
+    SELECT vec_id, p,
+           round(SUM(emb[i + 1] * CASE WHEN {digit} = 0 THEN 1.0 ELSE -1.0 END), 6) AS pr
+    FROM v,
+         unnest(generate_series(0, {num_planes - 1})) AS gp(p),
+         unnest(generate_series(0, len(emb) - 1)) AS gi(i)
+    GROUP BY vec_id, p
+), bucket AS MATERIALIZED (
+    SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+    FROM proj GROUP BY vec_id
+)"""
+
+
+def _ann_lsh_oracle_sql(k: int, n_queries: int, num_planes: int) -> str:
+    """DuckDB twin of lsh_bucketed_cosine_topk (sha2 hash family)."""
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), {_hyperplane_bucket_ctes(num_planes)},
+q AS (
+    SELECT b.vec_id AS query_id, v.emb AS q_emb, b.bucket
+    FROM bucket b JOIN v USING (vec_id) WHERE b.vec_id < {n_queries}
+), cand AS (
+    SELECT q.query_id, v.vec_id,
+           list_dot_product(q.q_emb, v.emb)
+             / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                * sqrt(list_dot_product(v.emb, v.emb))) AS cos_raw
+    FROM q
+    JOIN bucket vb ON vb.bucket = q.bucket
+    JOIN v ON v.vec_id = vb.vec_id
+), ranked AS (
+    SELECT query_id, vec_id, cos_raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, vec_id DESC) AS rank
+    FROM cand
+)
+SELECT query_id, rank, vec_id, round(round(cos_raw, 9), 6) AS cos
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _near_dup_oracle_sql(threshold: float, num_planes: int) -> str:
+    """DuckDB twin of embedding_near_duplicates over the self-seeded
+    vector set (identical copies of vec_id < 10, ids shifted +1e6)."""
+    return f"""
+WITH v0 AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), v AS MATERIALIZED (
+    SELECT vec_id, emb FROM v0
+    UNION ALL
+    SELECT vec_id + 1000000, emb FROM v0 WHERE vec_id < 10
+), {_hyperplane_bucket_ctes(num_planes)},
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(va.emb, vb.emb)
+             / (sqrt(list_dot_product(va.emb, va.emb))
+                * sqrt(list_dot_product(vb.emb, vb.emb))) AS cos_raw
+    FROM bucket a
+    JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN v va ON va.vec_id = a.vec_id
+    JOIN v vb ON vb.vec_id = b.vec_id
+)
+SELECT id_a, id_b, round(round(cos_raw, 9), 6) AS cos
+FROM pairs WHERE cos_raw >= {threshold}
+"""
 
 
 def _ngram_jaccard_oracle_sql(k: int, threshold: float) -> str:

@@ -27,6 +27,26 @@ def _normalized(text_col):
     return F.regexp_replace(F.lower(text_col), r"\s+", " ")
 
 
+def _hash64(*cols, family: str = "xxhash64"):
+    """Deterministic 64-bit-class integer hash of the given columns.
+
+    - "xxhash64": Spark's built-in (fastest; JVM codegen) — the default
+      and the production path.
+    - "sha2": 60 bits from the first 15 hex chars of
+      sha256(concat_ws(':', cols)). Slower, but reproducible in ANY
+      engine with sha256 — the DuckDB oracles use this family so the
+      driver can hash-compare LSH/simhash results (xxhash64 has no
+      DuckDB twin). Statistically equivalent for min-hash/banding.
+    """
+    if family == "xxhash64":
+        return F.xxhash64(*cols)
+    if family == "sha2":
+        return F.conv(
+            F.substring(F.sha2(F.concat_ws(":", *cols), 256), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash family: {family!r}")
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents.
 
@@ -62,12 +82,16 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = 5, num_hashes: int = 32
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 32,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, seed, minhash): num_hashes independent min-hashes per doc.
 
-    Hash family: xxhash64(shingle, seed) — one explode, one groupBy
-    (map-side combined min)."""
+    Hash family: hash(shingle, seed) — one explode, one groupBy
+    (map-side combined min). See _hash64 for the family choice."""
     sh = shingles(docs, text_col, k)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
@@ -75,7 +99,7 @@ def minhash_signatures(
         .select(
             "doc_id",
             "seed",
-            F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"),
+            _hash64(F.col("shingle"), F.col("seed"), family=hash_family).alias("h"),
         )
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("minhash"))
@@ -88,17 +112,26 @@ def minhash_lsh_candidates(
     k: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over the MinHash
     signature (rows = num_hashes / bands per band). Returns distinct
     (doc_a, doc_b) with doc_a < doc_b.
     """
-    sigs = minhash_signatures(docs, text_col, k, num_hashes)
+    sigs = minhash_signatures(docs, text_col, k, num_hashes, hash_family)
     rows_per_band = num_hashes // bands
     banded = (
         sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_hash"))
+        .agg(
+            _hash64(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash"))),
+                ),
+                family=hash_family,
+            ).alias("band_hash")
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -168,9 +201,14 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", bits: int = 64
+    docs: DataFrame, text_col: str = "text", bits: int = 64, hash_family: str = "xxhash64"
 ) -> DataFrame:
-    """(doc_id, simhash): bitwise-majority fingerprint over token hashes.
+    """(doc_id, simhash): bitwise-majority fingerprint over token hashes,
+    packed into the low ``bits - 1`` bits of a signed long (the sign bit
+    is kept clear so signatures sort/compare as non-negative integers —
+    a 64-bit *class* signature with 63 data bits; with the "sha2" hash
+    family the token hash itself carries 60 bits, so bits 60-62 are
+    constant-zero by construction in every engine).
 
     Near-duplicates differ in few bits (compare via popcount of xor).
     Implementation: explode tokens → token hash → per-bit ±1 votes via
@@ -182,7 +220,7 @@ def simhash_signatures(
             F.explode(F.split(_normalized(F.col(text_col)), " ")).alias("tok"),
         )
         .where(F.col("tok") != "")
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select("doc_id", _hash64(F.col("tok"), family=hash_family).alias("h"))
     )
     votes = [
         F.sum(

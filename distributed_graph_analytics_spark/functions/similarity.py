@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,32 +54,30 @@ def brute_force_cosine_topk(
         "vec_id",
         cosine(F.col("q_vec"), F.col("v_vec")).alias("cos"),
     )
-    # per-query top-k: single aggregate of a bounded sorted buffer —
-    # no global sort, no window over the full cross product
-    topk = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("cos"), F.col("vec_id"))),
-                    asc=False,
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
+    return _window_topk(scored, k)
+
+
+def _window_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k via row_number window (tie-break cos DESC then
+    vec_id DESC, matching sort_array(struct(cos, vec_id)) desc order).
+
+    Why a window and not collect_list+slice: an aggregate that collects
+    the whole per-query scored set builds one unbounded multi-GB row per
+    query at 100 TB. The window sorts within the query's partition but
+    emits bounded rows per task; with `spark.sql.execution.topKSortFallbackThreshold`
+    Spark's rank-limit pushes a per-partition top-k before the shuffle.
+    """
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
         .select(
             "query_id",
-            F.posexplode("top").alias("rank0", "t"),
-        )
-        .select(
-            "query_id",
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("t.vec_id").alias("vec_id"),
-            F.round(F.col("t.cos"), 9).alias("cos"),
+            "rank",
+            "vec_id",
+            F.round(F.col("cos"), 9).alias("cos"),
         )
     )
-    return topk
 
 
 def hyperplane_buckets(
@@ -88,11 +86,17 @@ def hyperplane_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, bucket): sign-bit LSH bucket from `num_planes` pseudo-random
     hyperplanes. The planes are derived deterministically from
-    xxhash64(seed, plane, dim) — no driver-side random state, fully
-    reproducible across cluster sizes.
+    hash(seed, plane, dim) — no driver-side random state, fully
+    reproducible across cluster sizes. hash_family "xxhash64" is the
+    production path; "sha2" derives the ±1 component from a sha256 hex
+    digit so any engine with sha256 (the DuckDB oracle) reproduces the
+    identical buckets. Projections are rounded to 6 decimals before the
+    sign test so cross-engine float summation-order noise cannot flip a
+    bucket bit.
     """
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
@@ -100,19 +104,35 @@ def hyperplane_buckets(
         # pseudo-random ±1 plane component per dimension; p is captured
         # in a closure (a default arg would add a 3rd lambda parameter,
         # which zip_with rejects)
+        if hash_family == "xxhash64":
+            def bit(i):
+                return F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2))
+        elif hash_family == "sha2":
+            def bit(i):
+                return (
+                    F.conv(
+                        F.substring(
+                            F.sha2(F.concat_ws(":", F.lit(seed), F.lit(p), i), 256),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 2
+                )
+        else:
+            raise ValueError(f"unknown hash family: {hash_family!r}")
         comp = F.zip_with(
             F.col(vec_col),
             dim_idx,
-            lambda x, i: x
-            * F.when(
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0, 1.0
-            ).otherwise(-1.0),
+            lambda x, i: x * F.when(bit(i) == 0, 1.0).otherwise(-1.0),
         )
         return F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
 
     bits = []
     for p in range(num_planes):
-        proj = _plane_projection(p)
+        proj = F.round(_plane_projection(p), 6)
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
     bucket = sum(bits)
     return vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"), bucket.alias("bucket"))
@@ -127,13 +147,14 @@ def lsh_bucketed_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank within matching LSH
     buckets only. Recall < 1 by construction; scale path for when the
     vector side no longer broadcasts."""
-    v_b = hyperplane_buckets(vectors, num_planes, seed, id_col, vec_col)
+    v_b = hyperplane_buckets(vectors, num_planes, seed, id_col, vec_col, hash_family)
     q_b = hyperplane_buckets(
-        queries, num_planes, seed, query_id_col, vec_col
+        queries, num_planes, seed, query_id_col, vec_col, hash_family
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v_vec").alias("q_vec"),
@@ -144,26 +165,7 @@ def lsh_bucketed_cosine_topk(
         "vec_id",
         cosine(F.col("q_vec"), F.col("v_vec")).alias("cos"),
     )
-    return (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("cos"), F.col("vec_id"))),
-                    asc=False,
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select("query_id", F.posexplode("top").alias("rank0", "t"))
-        .select(
-            "query_id",
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("t.vec_id").alias("vec_id"),
-            F.round(F.col("t.cos"), 9).alias("cos"),
-        )
-    )
+    return _window_topk(scored, k)
 
 
 def embedding_near_duplicates(
@@ -173,10 +175,11 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, cos) for pairs with cosine >= threshold among
     LSH-bucket candidates (id_a < id_b)."""
-    b = hyperplane_buckets(vectors, num_planes, seed, id_col, vec_col)
+    b = hyperplane_buckets(vectors, num_planes, seed, id_col, vec_col, hash_family)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(

@@ -87,12 +87,23 @@ def fingerprint_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text-analysis projection used by the entry queries."""
+    """One-pass text-analysis projection used by the entry queries.
+
+    token_count is evaluated once as a struct and expanded in a second
+    projection (CollapseProject keeps non-cheap multiply-referenced
+    expressions un-inlined, so the regexp tokenization runs once per
+    row, not once per selected field)."""
     t = F.col(text_col)
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        token_count(t)["ws_tokens"].alias("ws_tokens"),
-        token_count(t)["bpe_tokens"].alias("bpe_tokens"),
+        token_count(t).alias("_tc"),
         F.round(quality_score(t), 6).alias("quality"),
         detect_language(t).alias("lang_guess"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_tc.ws_tokens").alias("ws_tokens"),
+        F.col("_tc.bpe_tokens").alias("bpe_tokens"),
+        "quality",
+        "lang_guess",
     )

@@ -20,11 +20,11 @@ DataFrame re-expression (same math, set-at-a-time):
   predecessor sets (shorter replaces, equal upserts — the reference's
   update rule verbatim);
 - dependency accumulation replaces the ping/successor message dance
-  with a reverse wavefront over distance levels: processing distances
-  in descending order is exactly the reverse-topological order the
-  message protocol discovers dynamically, so
+  with a reverse frontier over the shortest-path DAG (settle a vertex
+  once all its successors settled): exactly the reverse-topological
+  order the message protocol discovers dynamically, so
   δ(p) += (σ_p / σ_w) · (1 + δ(w)) visits identical edges with
-  identical values;
+  identical values, in rounds bounded by DAG depth;
 - betweenness += Σ_pivots δ, pivot excluded; top-K stability identical
   (orderBy desc value, asc id → set diff vs previous batch,
   HighBetweennessCore.scala:60-82,180-186).
@@ -175,66 +175,74 @@ def _shortest_paths(edges: DataFrame, pivots: DataFrame, max_iter: int = 10_000)
     return dist, preds
 
 
-def _dependencies(dist: DataFrame, preds: DataFrame) -> DataFrame:
-    """Brandes back-propagation over descending distance levels.
+def _dependencies(dist: DataFrame, preds: DataFrame, max_iter: int = 10_000) -> DataFrame:
+    """Brandes back-propagation as a reverse frontier over the
+    shortest-path DAG (Kahn's topological order, reversed).
 
-    Returns delta(pivot, id, dep) for non-pivot vertices on some
-    shortest path.
+    A vertex's δ is final once every DAG-successor's δ is final, so
+    each round the newly-settled vertices w push
+    (σ_pred / σ_w) · (1 + δ(w)) along their predecessor links and
+    decrement the receivers' unsettled-successor counters; counters
+    hitting zero form the next frontier. Rounds are bounded by DAG
+    depth — NOT by the number of distinct distance values, which on a
+    weighted graph is O(|V|·W) and would degenerate the level-sweep
+    formulation into an unbounded driver-side loop.
+
+    Returns delta(pivot, id, dep) for non-pivot vertices (leaves settle
+    with dep = 0.0; downstream Σ-by-id is unaffected by the zero rows).
     """
-    spark = dist.sparkSession
-    sigma = (
-        preds.groupBy("pivot", "id").agg(F.sum("npaths").alias("sigma"))
-    )
-    sigma = sigma.unionByName(
-        dist.where(F.col("pivot") == F.col("id")).select(
-            "pivot", "id", F.lit(1).cast("long").alias("sigma")
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
     preds = preds.persist(StorageLevel.MEMORY_AND_DISK)
-    levels = [
-        r["dist"]
-        for r in dist.select("dist").distinct().orderBy(F.desc("dist")).collect()
-        if r["dist"] > 0
-    ]
-    delta = _checkpoint(spark.createDataFrame([], "pivot long, id long, dep double"))
-    for d in levels:
-        at_d = dist.where(F.col("dist") == d).select("pivot", "id")
-        w_info = (
-            at_d.join(sigma, ["pivot", "id"])
-            .join(delta, ["pivot", "id"], "left_outer")
-            .select(
-                "pivot",
-                "id",
-                "sigma",
-                F.coalesce("dep", F.lit(0.0)).alias("dep"),
-            )
+    sigma = preds.groupBy("pivot", "id").agg(F.sum("npaths").alias("sigma"))
+    # unsettled-successor counter: #DAG-out-edges = #preds rows naming
+    # this vertex as pred (each settles exactly once → one decrement)
+    succ = preds.groupBy("pivot", F.col("pred").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_succ")
+    )
+    state = _checkpoint(
+        dist.select("pivot", "id")
+        .join(succ, ["pivot", "id"], "left_outer")
+        .join(sigma, ["pivot", "id"], "left_outer")
+        .select(
+            "pivot",
+            "id",
+            F.coalesce("n_succ", F.lit(0)).alias("remaining"),
+            "sigma",  # null only for the pivot row itself (no preds)
+            F.lit(0.0).alias("dep"),
         )
+    )
+    frontier = _checkpoint(state.where(F.col("remaining") == 0))
+    state = _checkpoint(state.where(F.col("remaining") > 0))
+    settled = [frontier.select("pivot", "id", "dep")]
+    for _ in range(max_iter):
+        if frontier.where(F.col("pivot") != F.col("id")).limit(1).count() == 0:
+            break
         contribs = (
-            w_info.join(preds, ["pivot", "id"])
-            .select(
-                "pivot",
-                F.col("pred").alias("id"),
-                (
+            frontier.join(preds, ["pivot", "id"])
+            .groupBy("pivot", F.col("pred").alias("id"))
+            .agg(
+                F.sum(
                     (F.col("npaths").cast("double") / F.col("sigma"))
                     * (F.lit(1.0) + F.col("dep"))
                 ).alias("c"),
+                F.count(F.lit(1)).alias("dec"),
             )
-            .groupBy("pivot", "id")
-            .agg(F.sum("c").alias("c"))
         )
-        delta = _checkpoint(
-            delta.join(contribs, ["pivot", "id"], "full_outer").select(
+        updated = _checkpoint(
+            state.join(contribs, ["pivot", "id"], "left_outer").select(
                 "pivot",
                 "id",
-                (F.coalesce("dep", F.lit(0.0)) + F.coalesce("c", F.lit(0.0))).alias(
-                    "dep"
-                ),
+                (F.col("remaining") - F.coalesce("dec", F.lit(0))).alias("remaining"),
+                "sigma",
+                (F.col("dep") + F.coalesce("c", F.lit(0.0))).alias("dep"),
             )
         )
-    out = delta.where(F.col("pivot") != F.col("id"))
-    sigma.unpersist()
-    dist.unpersist()
+        frontier = _checkpoint(updated.where(F.col("remaining") == 0))
+        state = _checkpoint(updated.where(F.col("remaining") > 0))
+        settled.append(frontier.select("pivot", "id", "dep"))
+    out = settled[0]
+    for s in settled[1:]:
+        out = out.unionByName(s)
+    out = out.where(F.col("pivot") != F.col("id"))
     preds.unpersist()
     return out
 
@@ -345,16 +353,27 @@ def hbse(
     batch = pivot_batch_size or n
     budget = min(pivot_budget or n, n)
 
-    dedup = edges.groupBy("src", "dst").agg(F.min("weight").alias("w"))
+    dedup = edges.groupBy("src", "dst").agg(F.min("weight").alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if strategy == "auto":
         strategy = (
             "broadcast" if dedup.count() <= broadcast_max_edges else "dataframe"
         )
     stats.strategy = strategy
     if strategy == "broadcast":
-        adj: dict = {}
-        for r in dedup.collect():
-            adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+        # collect pre-grouped array rows (~|V| rows), not |E| Row objects:
+        # the per-edge structure is built executor-side by collect_list
+        # and lands on the driver as one array per source vertex
+        adj = {
+            r["src"]: list(zip(r["dsts"], r["ws"]))
+            for r in dedup.groupBy("src")
+            .agg(
+                F.collect_list("dst").alias("dsts"),
+                F.collect_list("w").alias("ws"),
+            )
+            .collect()
+        }
         adj_bc = spark.sparkContext.broadcast(adj)
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -367,6 +386,8 @@ def hbse(
             dist, preds = _shortest_paths(edges, pivots)
             delta = _dependencies(dist, preds)
             return delta.groupBy("id").agg(F.sum("dep").alias("dep"))
+
+    dedup.unpersist()
 
     betweenness = _checkpoint(
         vertices.select("id", F.lit(0.0).alias("betweenness"))

@@ -1,18 +1,23 @@
-"""Local replica of the driver's correctness gate: run each
-__spark_entry__.queries() entry and its oracle_sql() twin at a given
-scale factor, compare row count, schema (column names), and
-order-insensitive values (sorted columns, sorted rows).
+"""Driver-style correctness check: run each __spark_entry__ query AND
+its DuckDB oracle side-by-side, compare row count + sorted-column value
+hash. Usage:
+
+    python tools/check_oracles.py [key ...] [--sf /root/testdata/sf0.01]
+
+With no keys, checks every query that has an oracle. Mirrors the
+driver's comparison (columns sorted by name, rows sorted, values
+stringified with float rounding) closely enough to predict
+CORRECTNESS_r{N}.json before the round closes.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
-import time
 
-import duckdb
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -20,76 +25,83 @@ TABLES = [
 ]
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
-    import __spark_entry__ as mod
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.6g}"
+            elif isinstance(v, bool):
+                v = str(int(v))
+            else:
+                v = str(v)
+            vals.append(v)
+        out.append("\x01".join(vals))
+    out.sort()
+    h = hashlib.sha256("\x02".join(out).encode()).hexdigest()[:16]
+    return h
+
+
+def main():
+    args = []
+    sf_dir = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+        elif os.sep in a:  # positional sf dir (skill-doc convention)
+            sf_dir = a
+        else:
+            args.extend(a.split(","))
+    import duckdb
+
+    from __spark_entry__ import oracle_sql, queries
     from distributed_graph_analytics_spark.session import get_spark
 
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=16)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark("oracle-check", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = mod.queries()
-    if only:
-        qs = {k: v for k, v in qs.items() if k in only}
-    oracles = mod.oracle_sql()
-    failures = []
-    for name, fn in qs.items():
-        t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        spark_rows = sdf.toPandas()
-        t_spark = time.time() - t0
-        if name not in oracles:
-            print(f"{name:24s} rows={len(spark_rows):8d}  (no oracle, rows-only) "
-                  f"spark={t_spark:.1f}s")
+    qs = queries()
+    osql = oracle_sql()
+    keys = args or [k for k in qs if k in osql]
+    failures = 0
+    for key in keys:
+        if key not in osql:
+            print(f"{key}: NO ORACLE (skipped)")
             continue
-        t0 = time.time()
-        want = con.execute(oracles[name]).df()
-        t_duck = time.time() - t0
-        ok, msg = compare(spark_rows, want)
+        try:
+            sdf = qs[key](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            cur = con.execute(osql[key])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{key}: ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        sh, oh = _canon(srows, scols), _canon(orows, ocols)
+        ok = len(srows) == len(orows) and sorted(scols) == sorted(ocols) and sh == oh
         status = "OK " if ok else "FAIL"
-        print(f"{name:24s} rows={len(spark_rows):8d}  {status} {msg} "
-              f"spark={t_spark:.1f}s duckdb={t_duck:.1f}s")
+        print(
+            f"{key}: {status} spark_rows={len(srows)} oracle_rows={len(orows)} "
+            f"cols={'match' if sorted(scols) == sorted(ocols) else (scols, ocols)} "
+            f"hash={'match' if sh == oh else (sh, oh)}"
+        )
         if not ok:
-            failures.append(name)
+            failures += 1
     spark.stop()
-    if failures:
-        print("FAILURES:", failures)
-        sys.exit(1)
-    print("all oracle comparisons passed")
-
-
-def compare(got, want):
-    import pandas as pd
-
-    g = got.reindex(sorted(got.columns), axis=1)
-    w = want.reindex(sorted(want.columns), axis=1)
-    if list(g.columns) != list(w.columns):
-        return False, f"schema {list(g.columns)} != {list(w.columns)}"
-    if len(g) != len(w):
-        return False, f"rowcount {len(g)} != {len(w)}"
-    for df in (g, w):
-        for c in df.columns:
-            if pd.api.types.is_float_dtype(df[c]):
-                df[c] = df[c].astype("float64").round(9)
-            else:
-                try:
-                    df[c] = pd.to_numeric(df[c]).astype("int64")
-                except (ValueError, TypeError):
-                    df[c] = df[c].astype(str)
-    gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
-    ws = w.sort_values(by=list(w.columns)).reset_index(drop=True)
-    if not gs.equals(ws):
-        diff = (gs != ws).any(axis=1)
-        n = int(diff.sum())
-        first = gs[diff].head(2).to_dict("records"), ws[diff].head(2).to_dict("records")
-        return False, f"{n} differing rows; first: {first}"
-    return True, "values match"
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    main(sf, names)
+    main()

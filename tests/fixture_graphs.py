@@ -92,3 +92,36 @@ CLIQUE_B = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
 TWO_CLIQUES_BRIDGED = CLIQUE_A + CLIQUE_B + [(5, 6), (6, 10)]
 # each 5-clique has C(5,3)=10 triangles; bridge adds none
 TWO_CLIQUES_TRIANGLES = 20
+
+# ---- Giraph leaf compression (LeafCompressionComputationTest.java) ----
+# testComputationGoodData:52-104 — 36 directed edges; golden: 5 surviving
+# vertices {1..5}, each keeping its clique edges
+LC_GIRAPH_GOOD = [
+    (1, 2), (1, 3), (1, 4), (1, 5), (1, 6),
+    (2, 3), (2, 4), (2, 5), (2, 1),
+    (3, 4), (3, 5), (3, 20), (3, 1), (3, 2),
+    (4, 5), (4, 1), (4, 2), (4, 3),
+    (5, 1), (5, 2), (5, 3), (5, 4),
+    (6, 1), (6, 8), (8, 6), (8, 10), (10, 8), (10, 12), (12, 10),
+    (15, 17), (15, 19), (17, 15), (19, 15), (19, 20),
+    (20, 3), (20, 19),
+]
+LC_GIRAPH_GOOD_EXPECT = {1, 2, 3, 4, 5}
+#: absorbed-count goldens (hand-traced per the BSP protocol): vertex 1
+#: absorbs the 12→10→8→6 chain, vertex 3 absorbs 17→15→19→20
+LC_GIRAPH_GOOD_VALUES = {1: 4, 2: 0, 3: 4, 4: 0, 5: 0}
+
+# testComputationUnconnectedGraph:132-152 — isolated pairs; golden: the
+# three leaf sources are deleted, targets survive with value 1, no edges
+LC_GIRAPH_PAIRS = [(1, 2), (4, 3), (28, 16)]
+LC_GIRAPH_PAIRS_EXPECT = {2, 3, 16}
+LC_GIRAPH_PAIRS_VALUES = {2: 1, 3: 1, 16: 1}
+
+# testActualTextNodes:157-180 with ids Jack=1 Jill=2 Jane=3 Gregory=4
+# Straxx=5 — golden: 4 survivors; Straxx keeps 0 edges; Jane keeps a
+# DANGLING edge to deleted Gregory (the test only asserts presence)
+LC_GIRAPH_TEXT = [
+    (1, 2), (2, 1), (3, 2), (2, 3), (1, 3), (3, 1), (3, 4), (4, 5),
+]
+LC_GIRAPH_TEXT_EXPECT = {1, 2, 3, 5}
+LC_GIRAPH_TEXT_EDGES = {(1, 2), (2, 1), (3, 2), (2, 3), (1, 3), (3, 1), (3, 4)}

@@ -81,3 +81,56 @@ def triangle_oracle(edge_list):
                 if c > b:
                     count += 1
     return count
+
+
+def giraph_lc_oracle(edge_list, max_supersteps=1000):
+    """Pure-Python twin of LeafCompressionComputation.java's BSP
+    protocol (see operators/leaf_compression.leaf_compression_giraph):
+    superstep-synchronous message passing with Giraph mutation timing
+    (vertex removals requested at processing time, applied one
+    superstep later; messages to removed vertices resurrect them).
+    Returns (values: {id: value}, edges: {(src, dst)})."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    values = {}
+    for s, d in edge_list:
+        out[s].append(d)
+        values.setdefault(s, 0)
+        values.setdefault(d, 0)
+
+    # superstep 0: every vertex is active
+    msgs = []
+    for vid in sorted(values):
+        if len(out[vid]) == 1 and values[vid] != -1:
+            msgs.append((out[vid][0], vid, values[vid]))
+            values[vid] = -1
+    pending = set()
+    for _ in range(max_supersteps):
+        if not msgs:
+            break
+        for r in pending:
+            values.pop(r, None)
+            out.pop(r, None)
+        pending = set()
+        by_to = defaultdict(list)
+        for to, frm, val in msgs:
+            by_to[to].append((frm, val))
+        new_msgs = []
+        for to in sorted(by_to):
+            cur = values.get(to, 0)  # missing receiver → resurrection
+            for frm, val in by_to[to]:
+                cur = cur + 1 + val
+                pending.add(frm)
+                if to in out:
+                    out[to] = [d for d in out[to] if d != frm]
+            values[to] = cur
+            if len(out.get(to, [])) == 1 and values[to] != -1:
+                new_msgs.append((out[to][0], to, values[to]))
+                values[to] = -1
+        msgs = new_msgs
+    for r in pending:
+        values.pop(r, None)
+        out.pop(r, None)
+    edges = {(s, d) for s in values for d in out.get(s, [])}
+    return values, edges

@@ -35,7 +35,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", help="testdata dir (repo-table ingest) instead of -i")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-d", "--delimiter", default=",")
-    p.add_argument("--format", default="parquet", choices=("parquet", "csv"))
+    p.add_argument("--format", default="parquet", choices=("parquet", "csv", "text"))
+    # S6 output-format parity (DGAAbstractEdgeOutputFormat.java:95-128):
+    # delimited text lines src<d>dst[<d>vertexValue][<d>edgeValue]
+    p.add_argument(
+        "--output-delimiter",
+        default=None,
+        help="field delimiter for --format text (default: the input -d)",
+    )
+    p.add_argument("--write-vertex-value", action="store_true")
+    p.add_argument("--write-edge-value", action="store_true")
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume louvain from the last completed level checkpoint",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--parallelism", type=int, default=None)
     # analytic knobs (reference defaults: DGARunner.scala:52-57)
@@ -74,11 +88,37 @@ def main(argv=None):
     )
     t0 = time.time()
     out = dispatch(args, edges, ckpt)
-    writer = out.write.mode("overwrite")
-    if args.format == "csv":
-        writer.option("header", True).csv(args.output)
+    if args.format == "text":
+        from distributed_graph_analytics_spark.sinks import (
+            edge_lines,
+            vertex_lines,
+        )
+
+        d = args.output_delimiter or args.delimiter
+        if {"src", "dst"} <= set(out.columns):
+            value_cols = [c for c in out.columns if c not in ("src", "dst")]
+            vv = None
+            if args.write_vertex_value and value_cols:
+                # per-source vertex value (e.g. WCC's srcComponent)
+                vv = out.select(
+                    F.col("src").alias("id"), F.col(value_cols[0]).alias("value")
+                ).distinct()
+            lines = edge_lines(
+                out,
+                delimiter=d,
+                write_vertex_value=args.write_vertex_value,
+                write_edge_value=args.write_edge_value and "weight" in out.columns,
+                vertex_values=vv,
+            )
+        else:
+            lines = vertex_lines(out, delimiter=d)
+        lines.write.mode("overwrite").text(args.output)
     else:
-        writer.parquet(args.output)
+        writer = out.write.mode("overwrite")
+        if args.format == "csv":
+            writer.option("header", True).csv(args.output)
+        else:
+            writer.parquet(args.output)
     print(f"{args.analytic} done in {time.time() - t0:.1f}s -> {args.output}")
     spark.stop()
     return 0
@@ -116,7 +156,16 @@ def dispatch(args, edges, ckpt):
     if a == "louvain":
         from distributed_graph_analytics_spark.operators.louvain import louvain
 
-        res = louvain(edges, args.minprogress, args.progresscounter)
+        # with --checkpoint-dir every level persists its vertices +
+        # qvalues + next-level input (S10/S11); --resume restarts a
+        # killed run from the last completed level
+        res = louvain(
+            edges,
+            args.minprogress,
+            args.progresscounter,
+            checkpoint_manager=ckpt,
+            resume=args.resume,
+        )
         return res.final  # synthesized node -> final community (S10 + synthesizer)
     if a == "lpa":
         from distributed_graph_analytics_spark.operators.lpa import label_propagation
@@ -124,10 +173,25 @@ def dispatch(args, edges, ckpt):
         labels, _ = label_propagation(edges, max_iterations=10)
         return labels
     if a == "hbse":
-        from distributed_graph_analytics_spark.operators.hbse import hbse
+        from distributed_graph_analytics_spark.operators.hbse import (
+            hbse,
+            save_hbse_run,
+        )
 
-        btwn, _top, _ = hbse(edges, k=args.k, pivot_batch_size=args.pivot_batch_size)
-        return btwn  # sink S12 (full betweenness; top-K = orderBy limit)
+        btwn, top, stats = hbse(
+            edges, k=args.k, pivot_batch_size=args.pivot_batch_size
+        )
+        # sink S12: betweenness lines + final_set.csv + stats.csv under
+        # <output>/hbse_run/ (the main writer below emits betweenness
+        # in the requested --format as well)
+        save_hbse_run(
+            args.output + "_run",
+            btwn,
+            top,
+            stats,
+            delimiter=args.output_delimiter or args.delimiter,
+        )
+        return btwn
     if a == "triangles":
         from distributed_graph_analytics_spark.operators.triangle import (
             triangle_count_per_vertex,

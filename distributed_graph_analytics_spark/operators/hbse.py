@@ -64,6 +64,15 @@ class HBSEStats:
     stability_runs: list[int] = field(default_factory=list)
     wall_seconds: float = 0.0
     strategy: str = ""
+    #: BSP-equivalent rounds: SSSP frontier + dependency frontier rounds
+    #: for the dataframe strategy; 1 per batch for the pivot-parallel
+    #: broadcast kernel (which has no distributed supersteps)
+    supersteps: int = 0
+    # run-configuration echo for the stats.csv artifact
+    n_vertices: int = 0
+    pivot_batch_size: int = 0
+    stability_cutoff: int = 0
+    stability_counter: int = 1
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
@@ -75,7 +84,7 @@ def _checkpoint(df: DataFrame) -> DataFrame:
 def _shortest_paths(edges: DataFrame, pivots: DataFrame, max_iter: int = 10_000):
     """Multi-source SSSP with path counting.
 
-    Returns (dist(pivot,id,dist), preds(pivot,id,pred,npaths)).
+    Returns (dist(pivot,id,dist), preds(pivot,id,pred,npaths), rounds).
     Weighted: edge weight is the distance (reference semantics —
     PathData carries distance + edgeWeight, HBSEComputation.java:120).
     """
@@ -93,7 +102,9 @@ def _shortest_paths(edges: DataFrame, pivots: DataFrame, max_iter: int = 10_000)
     # frontier: (pivot, id) whose dist or σ changed last round
     frontier = dist.select("pivot", "id")
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # σ for frontier vertices: pivot itself has σ=1, else Σ preds
         sigma = (
             preds.join(frontier, ["pivot", "id"], "left_semi")
@@ -172,7 +183,7 @@ def _shortest_paths(edges: DataFrame, pivots: DataFrame, max_iter: int = 10_000)
         if n_changed == 0:
             break
     e.unpersist()
-    return dist, preds
+    return dist, preds, rounds
 
 
 def _dependencies(dist: DataFrame, preds: DataFrame, max_iter: int = 10_000) -> DataFrame:
@@ -188,8 +199,9 @@ def _dependencies(dist: DataFrame, preds: DataFrame, max_iter: int = 10_000) -> 
     weighted graph is O(|V|·W) and would degenerate the level-sweep
     formulation into an unbounded driver-side loop.
 
-    Returns delta(pivot, id, dep) for non-pivot vertices (leaves settle
-    with dep = 0.0; downstream Σ-by-id is unaffected by the zero rows).
+    Returns (delta(pivot, id, dep), rounds) for non-pivot vertices
+    (leaves settle with dep = 0.0; downstream Σ-by-id is unaffected by
+    the zero rows).
     """
     preds = preds.persist(StorageLevel.MEMORY_AND_DISK)
     sigma = preds.groupBy("pivot", "id").agg(F.sum("npaths").alias("sigma"))
@@ -213,9 +225,11 @@ def _dependencies(dist: DataFrame, preds: DataFrame, max_iter: int = 10_000) -> 
     frontier = _checkpoint(state.where(F.col("remaining") == 0))
     state = _checkpoint(state.where(F.col("remaining") > 0))
     settled = [frontier.select("pivot", "id", "dep")]
+    rounds = 0
     for _ in range(max_iter):
         if frontier.where(F.col("pivot") != F.col("id")).limit(1).count() == 0:
             break
+        rounds += 1
         contribs = (
             frontier.join(preds, ["pivot", "id"])
             .groupBy("pivot", F.col("pred").alias("id"))
@@ -244,7 +258,7 @@ def _dependencies(dist: DataFrame, preds: DataFrame, max_iter: int = 10_000) -> 
         out = out.unionByName(s)
     out = out.where(F.col("pivot") != F.col("id"))
     preds.unpersist()
-    return out
+    return out, rounds
 
 
 def _single_source_deps(adj: dict, s: int, dep_out: dict) -> None:
@@ -378,13 +392,15 @@ def hbse(
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         def batch_dep_fn(pivots: DataFrame) -> DataFrame:
+            stats.supersteps += 1
             return _batch_dependencies_broadcast(pivots, adj_bc, n_part)
 
     else:
 
         def batch_dep_fn(pivots: DataFrame) -> DataFrame:
-            dist, preds = _shortest_paths(edges, pivots)
-            delta = _dependencies(dist, preds)
+            dist, preds, sssp_rounds = _shortest_paths(edges, pivots)
+            delta, dep_rounds = _dependencies(dist, preds)
+            stats.supersteps += sssp_rounds + dep_rounds
             return delta.groupBy("id").agg(F.sum("dep").alias("dep"))
 
     dedup.unpersist()
@@ -437,4 +453,53 @@ def hbse(
     top_k = betweenness.orderBy(F.desc("betweenness"), F.asc("id")).limit(k)
     vertices.unpersist()
     stats.wall_seconds = time.time() - t0
+    stats.n_vertices = n
+    stats.pivot_batch_size = batch
+    stats.stability_cutoff = stability_cutoff
+    stats.stability_counter = stability_counter
     return betweenness, top_k, stats
+
+
+def save_hbse_run(
+    output_dir: str,
+    betweenness: DataFrame,
+    top_k: DataFrame,
+    stats: HBSEStats,
+    delimiter: str = ",",
+) -> None:
+    """The reference run's three output artifacts (S12):
+
+    - ``<output_dir>/betweenness/`` — ``id<d>betweenness`` lines per
+      vertex (HDFSHBSERunner.scala:55-69's graph save), distributed
+      text write;
+    - ``<output_dir>/final_set.csv`` — the stabilized top-K ids, one
+      per line (HBSEMasterCompute.writeHighBetweennessSet:416-439);
+    - ``<output_dir>/stats.csv`` — the run-statistics key:value lines
+      (HBSEMasterCompute.writeStats:377-410, including its
+      'supsersteps' spelling for artifact parity). Both small files
+      are driver-side writes, exactly like the reference's
+      master-compute emits.
+    """
+    import os
+
+    from distributed_graph_analytics_spark.sinks import write_vertex_sink
+
+    os.makedirs(output_dir, exist_ok=True)
+    write_vertex_sink(
+        betweenness, os.path.join(output_dir, "betweenness"), delimiter=delimiter
+    )
+    ids = [r["id"] for r in top_k.collect()]
+    with open(os.path.join(output_dir, "final_set.csv"), "w") as f:
+        for vid in ids:
+            f.write(f"{vid}\n")
+    pct = stats.pivots_used / stats.n_vertices if stats.n_vertices else 0.0
+    with open(os.path.join(output_dir, "stats.csv"), "w") as f:
+        f.write(f"k: {len(ids)}\n")
+        f.write(f"delta p: {stats.pivot_batch_size}\n")
+        f.write(f"cutoff: {stats.stability_cutoff}\n")
+        f.write(f"counter: {stats.stability_counter}\n")
+        f.write(f"pivots selected: {stats.pivots_used}\n")
+        f.write(f"percent of graph selected: {pct}\n")
+        f.write(f"supsersteps: {stats.supersteps}\n")
+        f.write(f"cycles: {stats.batches}\n")
+        f.write(f"run time: {int(stats.wall_seconds)}\n")

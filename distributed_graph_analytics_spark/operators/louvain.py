@@ -72,6 +72,8 @@ class LouvainResult:
     final: DataFrame = None
     levels: list[LouvainLevel] = field(default_factory=list)
     wall_seconds: float = 0.0
+    #: level index this run resumed AFTER (-1 = fresh run)
+    resumed_from: int = -1
 
 
 def _community_messages(state: DataFrame, edges: DataFrame) -> DataFrame:
@@ -176,17 +178,59 @@ def louvain_level(
     return _louvain_level_with_internal(edges, None, min_progress, progress_counter)
 
 
+#: checkpoint names for the per-level Louvain sinks (S10/S11): the
+#: level's clustered vertices + qvalues (HDFSLouvainRunner.saveLevel,
+#: HDFSLouvainRunner.scala:47-56), and the resume set — cumulative
+#: original→community mapping, the NEXT level's compressed edge/
+#: internal-weight input (LouvainVertexOutputFormat.java:52-69's
+#: "community:internalWeight:nodeWeight" re-ingest path), and the
+#: level-0 assignment.
+_CKPT_VERTICES = "louvain_vertices"
+_CKPT_QVALUES = "louvain_qvalues"
+_CKPT_MAPPING = "louvain_mapping"
+_CKPT_NEXT_EDGES = "louvain_next_edges"
+_CKPT_NEXT_INTERNAL = "louvain_next_internal"
+_CKPT_LEVEL0 = "louvain_level0"
+_RESUME_NAMES = (_CKPT_MAPPING, _CKPT_NEXT_EDGES, _CKPT_NEXT_INTERNAL, _CKPT_LEVEL0)
+
+
+def _try_resume_louvain(ckpt) -> tuple | None:
+    """Latest level L for which the FULL resume set is valid (a kill
+    between the per-name writes leaves a partial level, which is simply
+    ignored in favor of the previous complete one), or None."""
+    latests = [ckpt.latest(n) for n in _RESUME_NAMES]
+    if any(x is None for x in latests):
+        return None
+    level = min(it for _, it in latests)
+    frames = {}
+    for n in _RESUME_NAMES:
+        loaded = ckpt.try_resume_at(n, level)
+        if loaded is None:
+            return None
+        frames[n] = loaded[0]
+    return level, frames
+
+
 def louvain(
     edges: DataFrame,
     min_progress: int = 2000,
     progress_counter: int = 1,
     max_levels: int = 20,
+    checkpoint_manager=None,
+    resume: bool = False,
 ) -> LouvainResult:
     """Full multi-level Louvain (AbstractLouvainRunner.run).
 
     Returns per-original-vertex level-0 and final community labels plus
     per-level Q values. Defaults match the reference CLI
     (DGARunner.scala:53-55: minProgress=2000, progressCounter=1).
+
+    With ``checkpoint_manager`` each completed level persists its
+    clustered vertices, the cumulative q-values table and — for levels
+    that improve Q — the next level's compressed input + cumulative
+    mapping (HDFSLouvainRunner.saveLevel parity). With ``resume=True`` a
+    killed multi-level run restarts from its last completed level
+    instead of level 0.
     """
     t0 = time.time()
     result = LouvainResult()
@@ -199,6 +243,21 @@ def louvain(
     mapping: DataFrame | None = None  # original id -> current-level vertex id
     q_prev = -1.0
     level = -1
+    if checkpoint_manager is not None and resume:
+        found = _try_resume_louvain(checkpoint_manager)
+        if found is not None:
+            level, frames = found
+            mapping = truncate(frames[_CKPT_MAPPING])
+            cur_edges = truncate(frames[_CKPT_NEXT_EDGES])
+            internal = truncate(frames[_CKPT_NEXT_INTERNAL])
+            result.level0 = truncate(frames[_CKPT_LEVEL0])
+            result.resumed_from = level
+            _, meta = checkpoint_manager.try_resume_at(_CKPT_MAPPING, level)
+            q_prev = float(meta["metrics"]["q"])
+            for lv in meta["metrics"].get("q_history", []):
+                result.levels.append(
+                    LouvainLevel(level=int(lv["level"]), q=float(lv["q"]), cycles=int(lv["cycles"]))
+                )
     while level + 1 < max_levels:
         level += 1
         q, state, passes = _louvain_level_with_internal(
@@ -217,6 +276,24 @@ def louvain(
                     "prev",
                 )
                 .select("id", "community")
+            )
+        if checkpoint_manager is not None:
+            # per-level audit sinks (HDFSLouvainRunner.saveLevel parity):
+            # the level's clustered vertex data + cumulative qvalues
+            checkpoint_manager.save(
+                _CKPT_VERTICES,
+                state.select("id", "community", "internal_w", "node_w", "sigma_tot"),
+                level,
+                {"q": q, "cycles": passes},
+            )
+            checkpoint_manager.save(
+                _CKPT_QVALUES,
+                spark.createDataFrame(
+                    [(lv.level, lv.q, lv.cycles) for lv in result.levels],
+                    "level int, q double, cycles int",
+                ),
+                level,
+                {"q": q},
             )
         if not (q > q_prev + 0.001):
             break
@@ -258,6 +335,18 @@ def louvain(
             .groupBy("src", "dst")
             .agg(F.sum("weight").alias("weight"))
         )
+        if checkpoint_manager is not None:
+            # resume set: a killed run restarts from this level's output
+            hist = [
+                {"level": lv.level, "q": lv.q, "cycles": lv.cycles}
+                for lv in result.levels
+            ]
+            checkpoint_manager.save(
+                _CKPT_MAPPING, mapping, level, {"q": q, "q_history": hist}
+            )
+            checkpoint_manager.save(_CKPT_NEXT_EDGES, cur_edges, level, {})
+            checkpoint_manager.save(_CKPT_NEXT_INTERNAL, internal, level, {})
+            checkpoint_manager.save(_CKPT_LEVEL0, result.level0, level, {})
     result.final = mapping
     result.wall_seconds = time.time() - t0
     return result

@@ -84,7 +84,10 @@ def pagerank(
     )
     vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
-    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    # pin the cached layout to hash(src) at n_part explicitly — the
+    # superstep join key — rather than relying on the groupBy's shuffle
+    # partitioning surviving plan/AQE changes
+    adj = adj.repartition(n_part, "src").persist(StorageLevel.MEMORY_AND_DISK)
     teleport = (1.0 - damping) / n
     init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 

@@ -55,8 +55,10 @@ def weakly_connected_components(
     # instead of 2|E| flat rows, and the cache scan shrinks ~3x. Hub
     # salting: receivers of a hub are split across ceil(deg/ADJ_CHUNK)
     # chunk rows so no single row concentrates a hub's fan-out. The
-    # groupBy leaves the cached table hash-partitioned on v, the
-    # superstep join key, at full n_part parallelism.
+    # explicit repartition below pins the cached table to hash(v) — the
+    # superstep join key — at full n_part parallelism (the groupBy's
+    # own shuffle partitioning is not guaranteed to survive plan/AQE
+    # changes).
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))

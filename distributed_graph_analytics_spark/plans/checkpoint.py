@@ -91,6 +91,17 @@ class CheckpointManager:
         if found is None:
             return None
         path, iteration = found
+        df, _manifest = self._load_verified(path)
+        return df, iteration
+
+    def try_resume_at(self, name: str, iteration: int) -> tuple[DataFrame, dict] | None:
+        """Load one specific valid checkpoint; returns (df, manifest)."""
+        path = self._dir(name, iteration)
+        if not os.path.exists(os.path.join(path, "_VALID")):
+            return None
+        return self._load_verified(path)
+
+    def _load_verified(self, path: str) -> tuple[DataFrame, dict]:
         df = self.spark.read.parquet(os.path.join(path, "state"))
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
@@ -100,7 +111,7 @@ class CheckpointManager:
             raise ValueError(
                 f"checkpoint {path} corrupt: manifest rows {expected_rows} != {actual}"
             )
-        return df, iteration
+        return df, manifest
 
     def clear(self, name: str) -> None:
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

@@ -103,6 +103,10 @@ def streaming_edge_counts(
         )
         .where(F.col("src") < F.col("dst"))
         .select(
-            "window_start", "src", "dst", F.lit(1).cast("long").alias("weight")
+            "window_start",
+            "event_type",
+            "src",
+            "dst",
+            F.lit(1).cast("long").alias("weight"),
         )
     )

@@ -138,6 +138,33 @@ def hyperplane_buckets(
     return vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"), bucket.alias("bucket"))
 
 
+def _bucket_rows(
+    vectors: DataFrame,
+    num_planes: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    hash_family: str,
+    num_tables: int,
+) -> DataFrame:
+    """Narrow (vec_id, table, bucket) rows over ``num_tables``
+    independent hyperplane sets (table t reseeds the planes). Multiple
+    tables raise recall multiplicatively — a pair missed by one table's
+    buckets is recalled if ANY table agrees — at the cost of one extra
+    scan per table; candidates are deduped before the (expensive)
+    exact re-rank."""
+    frames = [
+        hyperplane_buckets(
+            vectors, num_planes, seed + 1_000_003 * t, id_col, vec_col, hash_family
+        ).select("vec_id", F.lit(t).alias("table"), "bucket")
+        for t in range(num_tables)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def lsh_bucketed_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -148,22 +175,31 @@ def lsh_bucketed_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     hash_family: str = "xxhash64",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank within matching LSH
-    buckets only. Recall < 1 by construction; scale path for when the
-    vector side no longer broadcasts."""
-    v_b = hyperplane_buckets(vectors, num_planes, seed, id_col, vec_col, hash_family)
-    q_b = hyperplane_buckets(
-        queries, num_planes, seed, query_id_col, vec_col, hash_family
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v_vec").alias("q_vec"),
-        "bucket",
+    buckets only. Recall < 1 by construction (raise ``num_tables`` to
+    recover it); scale path for when the vector side no longer
+    broadcasts. The bucket join carries only (id, table, bucket) —
+    vectors are joined back AFTER candidate dedup, so the shuffle
+    moves narrow rows, not embeddings."""
+    v_keyed = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    q_keyed = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = q_b.join(v_b, "bucket").select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("q_vec"), F.col("v_vec")).alias("cos"),
+    v_b = _bucket_rows(vectors, num_planes, seed, id_col, vec_col, hash_family, num_tables)
+    q_b = _bucket_rows(
+        queries, num_planes, seed, query_id_col, vec_col, hash_family, num_tables
+    ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    cand = q_b.join(v_b, ["table", "bucket"]).select("query_id", "vec_id").distinct()
+    scored = (
+        cand.join(F.broadcast(q_keyed), "query_id")
+        .join(v_keyed, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("v_vec")).alias("cos"),
+        )
     )
     return _window_topk(scored, k)
 
@@ -176,22 +212,28 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_family: str = "xxhash64",
+    num_tables: int = 1,
 ) -> DataFrame:
     """(id_a, id_b, cos) for pairs with cosine >= threshold among
-    LSH-bucket candidates (id_a < id_b)."""
-    b = hyperplane_buckets(vectors, num_planes, seed, id_col, vec_col, hash_family)
+    LSH-bucket candidates (id_a < id_b); candidate pairs from ANY of
+    ``num_tables`` hyperplane tables, deduped before the exact cosine."""
+    keyed = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    b = _bucket_rows(vectors, num_planes, seed, id_col, vec_col, hash_family, num_tables)
     a, c = b.alias("a"), b.alias("b")
-    return (
+    cand = (
         a.join(
             c,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.v_vec"), F.col("b.v_vec")).alias("cos"),
-        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(keyed.select(F.col("vec_id").alias("id_a"), F.col("v_vec").alias("va")), "id_a")
+        .join(keyed.select(F.col("vec_id").alias("id_b"), F.col("v_vec").alias("vb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 9).alias("cos"))
     )

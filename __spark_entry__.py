@@ -29,7 +29,10 @@ from distributed_graph_analytics_spark.operators.leaf_compression import (  # no
     leaf_compression,
 )
 from distributed_graph_analytics_spark.operators.lpa import label_propagation  # noqa: E402
-from distributed_graph_analytics_spark.operators.pagerank import pagerank  # noqa: E402
+from distributed_graph_analytics_spark.operators.pagerank import (  # noqa: E402
+    pagerank,
+    pagerank_delta_push,
+)
 from distributed_graph_analytics_spark.operators.triangle import (  # noqa: E402
     triangle_count_per_vertex,
 )
@@ -222,6 +225,48 @@ def _sha60(expr: str) -> str:
     return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
 
 
+def _delta_push_unrolled_sql(rounds: int, eps: float, damping: float = 0.85) -> str:
+    """GraphX delta-push PageRank unrolled. Safe to over-unroll: once no
+    sender's Δ exceeds eps the round is the identity (empty message
+    join leaves rank/Δ/active untouched), so `rounds` only needs to be
+    ≥ the actual convergence round count (17 at sf0.01 with eps=1e-6;
+    24 leaves margin)."""
+    ctes = [
+        """out_deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+n_v AS (SELECT COUNT(*) AS n FROM vertices),
+d0 AS MATERIALIZED (
+  SELECT id,
+         (SELECT (1.0 + {d}) / n FROM n_v) AS rank,
+         (SELECT {d} / n FROM n_v) AS delta,
+         TRUE AS active
+  FROM vertices
+)""".replace("{d}", str(damping))
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT s.id,
+         s.rank + {damping} * coalesce(m.ms, 0) AS rank,
+         CASE WHEN m.ms IS NOT NULL THEN {damping} * m.ms ELSE s.delta END AS delta,
+         (m.ms IS NOT NULL) AS active
+  FROM d{k - 1} s
+  LEFT JOIN (
+      SELECT e.dst AS id, SUM(p.delta / d.od) AS ms
+      FROM edges e
+      JOIN d{k - 1} p ON p.id = e.src AND p.active AND p.delta > {eps}
+      JOIN out_deg d ON d.src = e.src
+      GROUP BY e.dst
+  ) m ON m.id = s.id
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM d{rounds}"
+    )
+
+
 _PR_FIXED_ITERS = 10
 _WCC_ROUNDS = 20
 _LC_ROUNDS = 4
@@ -273,6 +318,15 @@ def _q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks, _ = pagerank(load_edges(spark, sf_dir))
     return ranks.select("id", "rank")
+
+
+def _q_pagerank_delta_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GraphX delta formulation (PageRankCore.runPageRank); delta=1e-6
+    # so the push phase actually runs at this graph size (the reference
+    # default 0.001 exceeds the initial 0.85/N delta for N >= 850,
+    # which would gate every sender off after superstep 0)
+    ranks, _ = pagerank_delta_push(load_edges(spark, sf_dir), delta=1e-6)
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
 def _q_leaf_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "pagerank_fixed10": _q_pagerank_fixed,
         "pagerank": _q_pagerank_converged,
+        "pagerank_delta_push": _q_pagerank_delta_push,
         "leaf_compression": _q_leaf_compression,
         "triangles": _q_triangles,
         "label_propagation": _q_label_propagation,
@@ -474,6 +529,7 @@ GROUP BY id
         "out_degree": _EDGES_CTE + "SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src",
         "wcc": _wcc_unrolled_sql(_WCC_ROUNDS),
         "pagerank_fixed10": _pagerank_unrolled_sql(_PR_FIXED_ITERS),
+        "pagerank_delta_push": _delta_push_unrolled_sql(rounds=24, eps=1e-6),
         "leaf_compression": _leaf_compression_unrolled_sql(_LC_ROUNDS),
         "triangles": _EDGES_CTE
         + """

@@ -51,3 +51,59 @@ def test_pagerank_orderings(spark):
     # giraph out-star: center has lowest rank
     got, _ = run_pr(spark, G.PR_STAR_OUT_G)
     assert all(got[1] < got[v] for v in range(2, 9))
+
+
+# ---- GraphX delta-push variant (PageRankCore.runPageRank) ----
+
+from distributed_graph_analytics_spark.operators.pagerank import (  # noqa: E402
+    pagerank_delta_push,
+)
+
+
+def delta_push_oracle(edge_list, delta=0.001, damping=0.85):
+    """Pure-Python twin of the GraphX Pregel delta formulation
+    (PageRankCore.scala:33-72): same initial message, vertex program,
+    send gate, and active-set semantics."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    verts = set()
+    for e in edge_list:
+        out[e[0]].append(e[1])
+        verts |= {e[0], e[1]}
+    n = len(verts)
+    rank = {v: 1.0 / n for v in verts}
+    dlt = {}
+    for v in verts:  # superstep 0: initial message 1/N to everyone
+        rank[v] += damping * (1.0 / n)
+        dlt[v] = damping * (1.0 / n)
+    active = set(verts)
+    while True:
+        msgs = defaultdict(float)
+        for v in active:
+            if dlt[v] > delta and out[v]:
+                od = len(out[v])
+                for w in out[v]:
+                    msgs[w] += dlt[v] / od
+        if not msgs:
+            return rank
+        for w, s in msgs.items():
+            rank[w] += damping * s
+            dlt[w] = damping * s
+        active = set(msgs)
+
+
+@pytest.mark.parametrize(
+    "edge_list",
+    [G.PR_EQUAL3, G.PR_STAR_IN, G.PR_CYCLE, G.PR_STAR_OUT_G],
+    ids=["equal3", "star_in", "cycle", "star_out"],
+)
+def test_delta_push_matches_pregel_twin(spark, edge_list):
+    ranks, stats = pagerank_delta_push(edges_df(spark, edge_list))
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    want = delta_push_oracle(edge_list)
+    assert stats.converged
+    assert set(got) == set(want)
+    for v in got:
+        assert math.isclose(got[v], want[v], rel_tol=1e-9, abs_tol=1e-12), (
+            v, got[v], want[v])

@@ -39,7 +39,10 @@ from distributed_graph_analytics_spark.operators.triangle import (  # noqa: E402
 from distributed_graph_analytics_spark.operators.wcc import (  # noqa: E402
     weakly_connected_components,
 )
-from distributed_graph_analytics_spark.operators.louvain import louvain  # noqa: E402
+from distributed_graph_analytics_spark.operators.louvain import (  # noqa: E402
+    louvain,
+    louvain_level,
+)
 from distributed_graph_analytics_spark.operators.hbse import hbse  # noqa: E402
 from distributed_graph_analytics_spark.operators.neighboring_communities import (  # noqa: E402
     neighboring_communities,
@@ -225,6 +228,76 @@ def _sha60(expr: str) -> str:
     return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
 
 
+def _louvain_fixed_cycles_sql(cycles: int) -> str:
+    """DuckDB twin of louvain_level(fixed_cycles=cycles) at level 0
+    (internal weights all zero): per cycle, one neighbor-community
+    message aggregate, the m-scaled-integer ΔQ argmax (HUGEINT — exact,
+    matching the Spark side's decimal(38,0)), the even/odd move gate,
+    and the σ_tot recompute. Cycle k is 'even' when k is odd, mirroring
+    the loop's flip-then-use order (LouvainCore.scala:234 code, not its
+    comment)."""
+    ctes = [
+        """em AS MATERIALIZED (
+  SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS w FROM edges GROUP BY src, dst
+), symm AS MATERIALIZED (
+  SELECT src AS u, dst AS v, w FROM em UNION ALL SELECT dst, src, w FROM em
+), nw AS MATERIALIZED (
+  SELECT u AS id, CAST(SUM(w) AS BIGINT) AS node_w FROM symm GROUP BY u
+), mt AS (SELECT CAST(SUM(node_w) AS BIGINT) AS m FROM nw),
+st0 AS MATERIALIZED (
+  SELECT id, id AS community, node_w AS sigma_tot, node_w FROM nw
+)"""
+    ]
+    for k in range(1, cycles + 1):
+        even = k % 2 == 1
+        gate = "s.community > b.best_comm" if even else "s.community < b.best_comm"
+        ctes.append(
+            f"""msgs{k} AS MATERIALIZED (
+  SELECT t.u AS id, s.community AS comm, s.sigma_tot AS comm_sigma,
+         CAST(SUM(t.w) AS BIGINT) AS w_to_comm
+  FROM symm t JOIN st{k - 1} s ON s.id = t.v
+  GROUP BY 1, 2, 3
+), best{k} AS MATERIALIZED (
+  SELECT id, comm AS best_comm FROM (
+    SELECT c.id, c.comm,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY c.dq DESC, c.comm DESC) AS rn
+    FROM (
+      SELECT m.id, m.comm,
+             CASE WHEN m.comm = s.community AND (m.comm_sigma - s.node_w) = 0
+                  THEN CAST(0 AS HUGEINT)
+                  ELSE CAST(m.w_to_comm AS HUGEINT) * mt.m
+                       - CAST(s.node_w AS HUGEINT)
+                         * (CASE WHEN m.comm = s.community
+                                 THEN m.comm_sigma - s.node_w
+                                 ELSE m.comm_sigma END)
+             END AS dq
+      FROM msgs{k} m JOIN st{k - 1} s ON s.id = m.id, mt
+    ) c WHERE c.dq > 0
+  ) WHERE rn = 1
+), mv{k} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN b.best_comm IS NOT NULL AND b.best_comm != s.community
+                   AND ({gate})
+              THEN b.best_comm ELSE s.community END AS community,
+         s.node_w
+  FROM st{k - 1} s LEFT JOIN best{k} b ON b.id = s.id
+), st{k} AS MATERIALIZED (
+  SELECT mv.id, mv.community, sg.sigma_tot, mv.node_w
+  FROM mv{k} mv
+  JOIN (SELECT community, CAST(SUM(node_w) AS BIGINT) AS sigma_tot
+        FROM mv{k} GROUP BY community) sg
+    ON sg.community = mv.community
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, community FROM st{cycles}"
+    )
+
+
 def _delta_push_unrolled_sql(rounds: int, eps: float, damping: float = 0.85) -> str:
     """GraphX delta-push PageRank unrolled. Safe to over-unroll: once no
     sender's Δ exceeds eps the round is the identity (empty message
@@ -355,6 +428,15 @@ def _q_louvain_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity pinned by tests/test_louvain.py against the reference goldens
     res = louvain(load_edges(spark, sf_dir), min_progress=2000, progress_counter=1)
     return res.level0.select("id", "community")
+
+
+def _q_louvain_move_fixed4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Louvain move kernel at exactly 4 cycles (progress halt
+    # disabled): deterministic and SQL-unrollable, so the ΔQ argmax,
+    # even/odd gating, and σ_tot recompute get a hard DuckDB oracle
+    # (the to-convergence multi-level variant stays pytest-pinned)
+    _q, state, _c = louvain_level(load_edges(spark, sf_dir), fixed_cycles=4)
+    return state.select("id", "community")
 
 
 def _q_hbse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "label_propagation": _q_label_propagation,
         "louvain_level0": _q_louvain_level0,
+        "louvain_move_fixed4": _q_louvain_move_fixed4,
         "hbse": _q_hbse,
         "neighboring_communities": _q_neighboring_communities,
         "doc_stats": _q_doc_stats,
@@ -569,6 +652,7 @@ GROUP BY content_sha256
 HAVING COUNT(*) > 1
 """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(k=8, threshold=0.8),
+        "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "label_propagation": _lpa_unrolled_sql(_LPA_ROUNDS),
         "doc_stats": _DOC_STATS_ORACLE_SQL,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(k=5, num_hashes=16, bands=8),

@@ -16,8 +16,10 @@ AbstractLouvainRunner.scala:43-74):
 - best-community choice: ΔQ = k_i_in − k_i·σ_tot/M with σ_tot
   excluding the vertex when evaluating its current community
   (q(), :253-267); candidates require ΔQ > 0; ties broken toward the
-  larger community id (:226). ΔQ is computed in DecimalType to mirror
-  the reference's BigDecimal tie-break determinism (:221);
+  larger community id (:226). ΔQ is compared in the exact m-scaled
+  integer form (decimal(38,0)) — order-identical to the reference's
+  BigDecimal k_i_in − k_i·σ/M (:221) but free of decimal-division
+  rounding, hence bit-reproducible across engines;
 - oscillation damping: even cycles only allow moves to lower community
   ids, odd cycles to higher (code at :234 — note the comment in the
   reference says the opposite of what its code does; we follow the
@@ -53,6 +55,8 @@ from distributed_graph_analytics_spark.plans.iteration import truncate
 
 
 _DEC = "decimal(38,12)"
+#: exact integer arithmetic for the m-scaled ΔQ comparison
+_DEC0 = "decimal(38,0)"
 
 
 @dataclass
@@ -115,16 +119,23 @@ def _best_community(state: DataFrame, msgs: DataFrame, m_total: int, even: bool)
     """
     cand = msgs.join(state, "id")
     is_cur = F.col("comm") == F.col("community")
-    k_i = (F.col("node_w") + F.col("internal_w")).cast(_DEC)
+    # ΔQ compared in the m-scaled integer form: the reference's
+    # BigDecimal q() is k_i_in − k_i·σ/M (LouvainCore.scala:253-267);
+    # multiplying every candidate by the positive constant M preserves
+    # the argmax, the >0 gate, and every tie EXACTLY, while replacing
+    # decimal division (engine-dependent scale/rounding) with exact
+    # integer arithmetic in decimal(38,0) — bit-reproducible in any
+    # engine, which is what lets DuckDB re-run the kernel as an oracle.
+    k_i = (F.col("node_w") + F.col("internal_w")).cast(_DEC0)
     k_i_in = F.when(is_cur, F.col("w_to_comm") + F.col("internal_w")).otherwise(
         F.col("w_to_comm")
-    ).cast(_DEC)
-    sigma = F.when(is_cur, F.col("comm_sigma").cast(_DEC) - k_i).otherwise(
-        F.col("comm_sigma").cast(_DEC)
+    ).cast(_DEC0)
+    sigma = F.when(is_cur, F.col("comm_sigma").cast(_DEC0) - k_i).otherwise(
+        F.col("comm_sigma").cast(_DEC0)
     )
-    m_dec = F.lit(int(m_total)).cast(_DEC)
-    delta_q = F.when(is_cur & (sigma == 0), F.lit(0).cast(_DEC)).otherwise(
-        k_i_in - k_i * sigma / m_dec
+    m_dec = F.lit(int(m_total)).cast(_DEC0)
+    delta_q = F.when(is_cur & (sigma == 0), F.lit(0).cast(_DEC0)).otherwise(
+        k_i_in * m_dec - k_i * sigma
     )
     best = (
         cand.select("id", "comm", delta_q.alias("dq"))
@@ -169,13 +180,18 @@ def louvain_level(
     edges: DataFrame,
     min_progress: int = 1,
     progress_counter: int = 1,
+    fixed_cycles: int | None = None,
 ) -> tuple[float, DataFrame, int]:
     """One Louvain level to progress-halt; returns (Q, state, passes).
 
     Mirrors LouvainCore.louvain() on an uncompressed graph (internal
-    weights start at 0).
+    weights start at 0). ``fixed_cycles`` disables the progress halt
+    and runs exactly that many move cycles — the deterministic,
+    SQL-unrollable variant used by the driver oracle.
     """
-    return _louvain_level_with_internal(edges, None, min_progress, progress_counter)
+    return _louvain_level_with_internal(
+        edges, None, min_progress, progress_counter, fixed_cycles
+    )
 
 
 #: checkpoint names for the per-level Louvain sinks (S10/S11): the
@@ -357,6 +373,7 @@ def _louvain_level_with_internal(
     internal: DataFrame | None,
     min_progress: int,
     progress_counter: int,
+    fixed_cycles: int | None = None,
 ) -> tuple[float, DataFrame, int]:
     """louvain_level, but seeding per-vertex internal weights from the
     previous compression (compressGraph's newVertices carry
@@ -405,6 +422,10 @@ def _louvain_level_with_internal(
         new_state = truncate(_best_community(state, msgs, m_total, even))
         state.unpersist()
         state = new_state
+        if fixed_cycles is not None:
+            if count >= fixed_cycles:
+                break
+            continue
         if even:
             updated = 0
         updated += state.where("changed").count()

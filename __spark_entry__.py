@@ -298,6 +298,134 @@ st0 AS MATERIALIZED (
     )
 
 
+def _hbse_unrolled_sql(
+    sssp_rounds: int, dep_rounds: int, n_pivots: int, seed: int = 42
+) -> str:
+    """DuckDB twin of hbse() on one sha2-sampled piv batch: the
+    Bellman-Ford SSSP-with-path-counting loop and the reverse-frontier
+    dependency accumulation, both unrolled. Both loops are the IDENTITY
+    once converged (empty frontier → every state table carries forward
+    unchanged), so the fixed round counts only need to exceed the
+    actual data-dependent depth (10 SSSP / 9 dep rounds measured at
+    sf0.01; 14 each leaves margin). Betweenness doubles are rounded to
+    6 decimals on both sides to absorb summation-order noise."""
+    pivot_hash = _sha60(f"concat(id, ':', {seed}, ':', 0)")
+    ctes = [
+        f"""ew AS MATERIALIZED (
+  SELECT src, dst, CAST(MIN(weight) AS BIGINT) AS w FROM edges GROUP BY src, dst
+), pv AS MATERIALIZED (
+  SELECT id FROM vertices ORDER BY {pivot_hash} LIMIT {n_pivots}
+), di0 AS MATERIALIZED (
+  SELECT id AS piv, id, CAST(0 AS BIGINT) AS dist FROM pv
+), pr0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS piv, CAST(NULL AS BIGINT) AS id,
+         CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS npaths
+  WHERE FALSE
+), fr0 AS MATERIALIZED (SELECT piv, id FROM di0)"""
+    ]
+    for r in range(1, sssp_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""sg{r} AS MATERIALIZED (
+  SELECT p.piv, p.id, CAST(SUM(p.npaths) AS BIGINT) AS sigma
+  FROM pr{p} p SEMI JOIN fr{p} f ON f.piv = p.piv AND f.id = p.id
+  GROUP BY 1, 2
+), frv{r} AS MATERIALIZED (
+  SELECT f.piv, f.id, d.dist,
+         coalesce(s.sigma, CASE WHEN f.piv = f.id THEN 1 END) AS sigma
+  FROM fr{p} f
+  JOIN di{p} d ON d.piv = f.piv AND d.id = f.id
+  LEFT JOIN sg{r} s ON s.piv = f.piv AND s.id = f.id
+  WHERE coalesce(s.sigma, CASE WHEN f.piv = f.id THEN 1 END) IS NOT NULL
+), ms{r} AS MATERIALIZED (
+  SELECT f.piv, e.dst AS id, f.dist + e.w AS nd, e.src AS pred,
+         f.sigma AS npaths
+  FROM frv{r} f JOIN ew e ON e.src = f.id
+), mg{r} AS MATERIALIZED (
+  SELECT m.*, d.dist AS cur
+  FROM (
+    SELECT m2.* FROM ms{r} m2
+    JOIN (SELECT piv, id, MIN(nd) AS nd FROM ms{r} GROUP BY 1, 2) b
+      ON b.piv = m2.piv AND b.id = m2.id AND b.nd = m2.nd
+  ) m
+  LEFT JOIN di{p} d ON d.piv = m.piv AND d.id = m.id
+), ik{r} AS MATERIALIZED (
+  SELECT DISTINCT piv, id FROM mg{r} WHERE cur IS NULL OR nd < cur
+), up{r} AS MATERIALIZED (
+  SELECT piv, id, pred, npaths FROM mg{r} WHERE cur IS NULL OR nd < cur
+  UNION ALL
+  SELECT piv, id, pred, npaths FROM mg{r} WHERE nd = cur
+), di{r} AS MATERIALIZED (
+  SELECT d.* FROM di{p} d ANTI JOIN ik{r} k ON k.piv = d.piv AND k.id = d.id
+  UNION ALL
+  SELECT DISTINCT piv, id, nd AS dist FROM mg{r} WHERE cur IS NULL OR nd < cur
+), cs{r} AS MATERIALIZED (
+  SELECT DISTINCT u.piv, u.id
+  FROM up{r} u
+  LEFT JOIN pr{p} p ON p.piv = u.piv AND p.id = u.id AND p.pred = u.pred
+  WHERE p.npaths IS NULL OR p.npaths != u.npaths
+), pr{r} AS MATERIALIZED (
+  SELECT q.* FROM (
+    SELECT p2.* FROM pr{p} p2
+    ANTI JOIN ik{r} k ON k.piv = p2.piv AND k.id = p2.id
+  ) q
+  ANTI JOIN up{r} u ON u.piv = q.piv AND u.id = q.id AND u.pred = q.pred
+  UNION ALL
+  SELECT piv, id, pred, npaths FROM up{r}
+), fr{r} AS MATERIALIZED (
+  SELECT piv, id FROM ik{r} UNION SELECT piv, id FROM cs{r}
+)"""
+        )
+    R = sssp_rounds
+    ctes.append(
+        f"""sgf AS MATERIALIZED (
+  SELECT piv, id, CAST(SUM(npaths) AS BIGINT) AS sigma FROM pr{R} GROUP BY 1, 2
+), scnt AS MATERIALIZED (
+  SELECT piv, pred AS id, COUNT(*) AS n_succ FROM pr{R} GROUP BY 1, 2
+), dp0 AS MATERIALIZED (
+  SELECT d.piv, d.id,
+         coalesce(s.n_succ, 0) AS remaining,
+         g.sigma,
+         0.0 AS dep
+  FROM di{R} d
+  LEFT JOIN scnt s ON s.piv = d.piv AND s.id = d.id
+  LEFT JOIN sgf g ON g.piv = d.piv AND g.id = d.id
+)"""
+    )
+    for q in range(1, dep_rounds + 1):
+        p = q - 1
+        ctes.append(
+            f"""cb{q} AS MATERIALIZED (
+  SELECT n.piv, p.pred AS id,
+         SUM((p.npaths / n.sigma) * (1.0 + n.dep)) AS c,
+         COUNT(*) AS dec
+  FROM (SELECT * FROM dp{p} WHERE remaining = 0) n
+  JOIN pr{R} p ON p.piv = n.piv AND p.id = n.id
+  GROUP BY 1, 2
+), dp{q} AS MATERIALIZED (
+  SELECT s.piv, s.id,
+         CASE WHEN s.remaining = 0 THEN -1
+              ELSE s.remaining - coalesce(c.dec, 0) END AS remaining,
+         s.sigma,
+         s.dep + coalesce(c.c, 0.0) AS dep
+  FROM dp{p} s LEFT JOIN cb{q} c ON c.piv = s.piv AND c.id = s.id
+)"""
+        )
+    Q = dep_rounds
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f""",
+bt AS (
+  SELECT id, SUM(dep) AS dep FROM dp{Q} WHERE piv != id GROUP BY id
+)
+SELECT v.id, round(coalesce(b.dep, 0.0), 6) AS betweenness
+FROM vertices v LEFT JOIN bt b ON b.id = v.id
+"""
+    )
+
+
 def _delta_push_unrolled_sql(rounds: int, eps: float, damping: float = 0.85) -> str:
     """GraphX delta-push PageRank unrolled. Safe to over-unroll: once no
     sender's Δ exceeds eps the round is the identity (empty message
@@ -441,10 +569,15 @@ def _q_louvain_move_fixed4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_hbse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Brandes on a deterministic 64-pivot batch (budget-capped
-    # approximation, the reference's sampling mode); exact-value parity
-    # on full coverage pinned by tests/test_hbse.py
+    # approximation, the reference's sampling mode); sha2 pivot
+    # sampling so the DuckDB oracle draws the identical batch;
+    # exact-value parity on full coverage pinned by tests/test_hbse.py
     btwn, _top, _ = hbse(
-        load_edges(spark, sf_dir), k=10, pivot_batch_size=64, pivot_budget=64
+        load_edges(spark, sf_dir),
+        k=10,
+        pivot_batch_size=64,
+        pivot_budget=64,
+        pivot_hash_family="sha2",
     )
     return btwn.select("id", F.round("betweenness", 6).alias("betweenness"))
 
@@ -653,6 +786,7 @@ HAVING COUNT(*) > 1
 """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(k=8, threshold=0.8),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
+        "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),
         "label_propagation": _lpa_unrolled_sql(_LPA_ROUNDS),
         "doc_stats": _DOC_STATS_ORACLE_SQL,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(k=5, num_hashes=16, bands=8),
@@ -672,11 +806,13 @@ GROUP BY 1, 2
         # No SQL oracle (driver records rows-only) for:
         # - "pagerank" (to convergence): iteration count is
         #   data-dependent; pinned by tests/test_pagerank.py (allclose
-        #   1e-6 vs the Giraph-semantics oracle);
-        # - "louvain_level0" / "hbse" / "neighboring_communities":
-        #   iterative/multi-level; pinned by tests/test_louvain.py
-        #   (reference golden Q=0.4134948...) and tests/test_hbse.py
-        #   (exact Brandes values).
+        #   1e-6 vs the Giraph-semantics oracle) — its kernel is
+        #   hard-oracled via "pagerank_fixed10" and
+        #   "pagerank_delta_push";
+        # - "louvain_level0" / "neighboring_communities": multi-level
+        #   with data-dependent progress halts; pinned by
+        #   tests/test_louvain.py (reference golden Q=0.4134948...) —
+        #   the move kernel is hard-oracled via "louvain_move_fixed4".
     }
 
 

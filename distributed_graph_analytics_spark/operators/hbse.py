@@ -340,6 +340,7 @@ def hbse(
     seed: int = 42,
     strategy: str = "auto",
     broadcast_max_edges: int = 2_000_000,
+    pivot_hash_family: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame, HBSEStats]:
     """Returns (betweenness(id, betweenness), top_k_set(id, betweenness),
     stats).
@@ -413,8 +414,20 @@ def hbse(
     run_count = 0
     while stats.pivots_used < budget:
         remaining = vertices.join(used, "id", "left_anti")
+        # deterministic pseudo-random pivot order; the sha2 family makes
+        # the sample reproducible in DuckDB (driver oracle) exactly like
+        # the dedup/similarity hash families
+        from distributed_graph_analytics_spark.functions.dedup import _hash64
+
         pivots = _checkpoint(
-            remaining.orderBy(F.xxhash64("id", F.lit(seed), F.lit(stats.batches)))
+            remaining.orderBy(
+                _hash64(
+                    F.col("id"),
+                    F.lit(seed),
+                    F.lit(stats.batches),
+                    family=pivot_hash_family,
+                )
+            )
             .limit(min(batch, budget - stats.pivots_used))
             .select("id")
         )

@@ -84,6 +84,10 @@ def pagerank(
     )
     vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
+    if n == 0:  # empty graph: no 1/N seed to compute
+        stats = IterationStats()
+        stats.converged = True
+        return vertices.select("id", F.lit(0.0).alias("rank")), stats
     # pin the cached layout to hash(src) at n_part explicitly — the
     # superstep join key — rather than relying on the groupBy's shuffle
     # partitioning surviving plan/AQE changes
@@ -185,6 +189,9 @@ def pagerank_delta_push(
     )
     vertices = vertices_of(edges)
     n = vertices.count()
+    if n == 0:  # empty graph: no 1/N seed to compute
+        stats.converged = True
+        return vertices.select("id", F.lit(0.0).alias("rank")), stats
     init_rank = 1.0 / n
     # superstep 0: every vertex receives the initial message 1/N
     state = truncate(

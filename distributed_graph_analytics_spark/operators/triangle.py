@@ -89,10 +89,11 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    all_vertices = (
-        o.select(F.col("lo").alias("id")).union(o.select(F.col("hi").alias("id"))).distinct()
-    )
-    out = all_vertices.join(corner_counts, "id", "left_outer").select(
+    # vertex universe from the ORIGINAL edges, not the oriented view —
+    # a vertex whose only edges are self-loops still gets a 0 row
+    from distributed_graph_analytics_spark.sources.edges import vertices_of
+
+    out = vertices_of(edges).join(corner_counts, "id", "left_outer").select(
         "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
     return out

@@ -107,3 +107,14 @@ def test_delta_push_matches_pregel_twin(spark, edge_list):
     for v in got:
         assert math.isclose(got[v], want[v], rel_tol=1e-9, abs_tol=1e-12), (
             v, got[v], want[v])
+
+
+def test_empty_and_degenerate_graphs(spark):
+    empty = spark.createDataFrame([], "src long, dst long, weight long")
+    for op in (pagerank, pagerank_delta_push):
+        ranks, stats = op(empty)
+        assert ranks.count() == 0
+        assert stats.converged
+    loop_edge = spark.createDataFrame([(1, 1, 1)], "src long, dst long, weight long")
+    ranks, _ = pagerank(loop_edge)
+    assert ranks.count() == 1

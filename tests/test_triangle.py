@@ -33,3 +33,11 @@ def test_per_vertex_counts(spark):
     assert got[6] == 0
     # sum of per-vertex counts = 3 * total triangles
     assert sum(got.values()) == 3 * G.TWO_CLIQUES_TRIANGLES
+
+
+def test_self_loop_only_vertex_gets_zero_row(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    got = {r["id"]: r["triangles"] for r in triangle_count_per_vertex(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}

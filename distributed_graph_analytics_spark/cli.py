@@ -68,11 +68,20 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from distributed_graph_analytics_spark.session import get_spark
-    from distributed_graph_analytics_spark.sources.edges import read_edge_list
-    from distributed_graph_analytics_spark.plans.checkpoint import CheckpointManager
 
     spark = get_spark("dga-" + args.analytic, master=args.master,
                       shuffle_partitions=args.parallelism)
+    rc = run(args, spark)
+    spark.stop()
+    return rc
+
+
+def run(args, spark):
+    """Everything between session creation and spark.stop() — separable
+    so tests can drive the CLI against a shared session."""
+    from distributed_graph_analytics_spark.sources.edges import read_edge_list
+    from distributed_graph_analytics_spark.plans.checkpoint import CheckpointManager
+
     if args.input:
         edges = read_edge_list(spark, args.input, args.delimiter, reverse=args.reverse)
     elif args.sf_dir:
@@ -120,7 +129,6 @@ def main(argv=None):
         else:
             writer.parquet(args.output)
     print(f"{args.analytic} done in {time.time() - t0:.1f}s -> {args.output}")
-    spark.stop()
     return 0
 
 

@@ -1,0 +1,59 @@
+"""CLI dispatch + output-format parity end-to-end (S6-S14 surface)."""
+
+import glob
+import os
+
+from distributed_graph_analytics_spark.cli import build_parser, run
+
+
+def _write_edges(tmp_path):
+    p = tmp_path / "edges.csv"
+    p.write_text("1,2\n2,3\n3,1\n3,4\n")
+    return str(p)
+
+
+def _read_lines(out_dir):
+    lines = []
+    for part in glob.glob(os.path.join(out_dir, "part-*")):
+        with open(part) as f:
+            lines.extend(line.strip() for line in f if line.strip())
+    return set(lines)
+
+
+def test_cli_wcc_text_vertex_value(spark, tmp_path):
+    inp = _write_edges(tmp_path)
+    out = str(tmp_path / "wcc_out")
+    args = build_parser().parse_args(
+        ["wcc", "-i", inp, "-o", out, "--format", "text",
+         "--output-delimiter", ":", "--write-vertex-value"]
+    )
+    assert run(args, spark) == 0
+    # S7 sink: src:dst:srcComponent, all in the max-label component 4
+    assert _read_lines(out) == {"1:2:4", "2:3:4", "3:1:4", "3:4:4"}
+
+
+def test_cli_pr_vertex_sink_text(spark, tmp_path):
+    inp = _write_edges(tmp_path)
+    out = str(tmp_path / "pr_out")
+    args = build_parser().parse_args(
+        ["pr", "-i", inp, "-o", out, "--format", "text", "--output-delimiter", "\t"]
+    )
+    assert run(args, spark) == 0
+    lines = _read_lines(out)
+    assert len(lines) == 4
+    for line in lines:
+        vid, rank = line.split("\t")
+        int(vid), float(rank)
+
+
+def test_cli_lc_edge_sink_parquet(spark, tmp_path):
+    # bidirectional triangle (out-degree 2 each) + pruned leaf 3->4
+    p = tmp_path / "lc_edges.csv"
+    p.write_text("1,2\n2,1\n2,3\n3,2\n3,1\n1,3\n3,4\n")
+    out = str(tmp_path / "lc_out")
+    args = build_parser().parse_args(["lc", "-i", str(p), "-o", out])
+    assert run(args, spark) == 0
+    got = {
+        (r["src"], r["dst"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)}

@@ -619,8 +619,12 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path: exact Jaccard verification restricted to MinHash-
+    # LSH candidate pairs (sha2 family → the oracle reproduces the
+    # identical candidate set), never the O(n²) all-pairs join
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, k=8, threshold=0.8).select(
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=8, hash_family="sha2")
+    return ngram_jaccard_pairs(docs, candidates=cands, k=8, threshold=0.8).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -784,7 +788,9 @@ FROM hashed
 GROUP BY content_sha256
 HAVING COUNT(*) > 1
 """,
-        "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(k=8, threshold=0.8),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(
+            k=8, threshold=0.8, lsh=(5, 16, 8)
+        ),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),
         "label_propagation": _lpa_unrolled_sql(_LPA_ROUNDS),
@@ -996,9 +1002,44 @@ FROM pairs WHERE cos_raw >= {threshold}
 """
 
 
-def _ngram_jaccard_oracle_sql(k: int, threshold: float) -> str:
-    """DuckDB twin of functions.dedup.ngram_jaccard_pairs (all-pairs
-    mode): k-word shingles of whitespace-normalized lowercased text."""
+def _ngram_jaccard_oracle_sql(
+    k: int,
+    threshold: float,
+    lsh: tuple[int, int, int] | None = None,
+) -> str:
+    """DuckDB twin of functions.dedup.ngram_jaccard_pairs: k-word
+    shingles of whitespace-normalized lowercased text. With ``lsh`` =
+    (mh_k, num_hashes, bands), pairs are restricted to the sha2-family
+    MinHash-LSH candidate set (the entry query's scale path)."""
+    cand_filter = ""
+    cand_ctes = ""
+    if lsh is not None:
+        mh_k, num_hashes, bands = lsh
+        rows_per_band = num_hashes // bands
+        mh = _sha60("concat(shingle, ':', seed)")
+        bh = _sha60("array_to_string(list_sort(list(concat(seed, ':', minhash))), ',')")
+        cand_ctes = f""", msh AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i : i + {mh_k - 1}], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - {mh_k - 1}, 1))) AS g(i)
+), mmh AS MATERIALIZED (
+    SELECT doc_id, seed, MIN({mh}) AS minhash
+    FROM msh, unnest(generate_series(0, {num_hashes - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+), mbanded AS MATERIALIZED (
+    SELECT doc_id, (seed // {rows_per_band})::INT AS band, {bh} AS band_hash
+    FROM mmh
+    GROUP BY doc_id, (seed // {rows_per_band})::INT
+), cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM mbanded a
+    JOIN mbanded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)"""
+        cand_filter = (
+            "  AND EXISTS (SELECT 1 FROM cand c"
+            " WHERE c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b)\n"
+        )
     return f"""
 WITH toks AS (
     SELECT doc_id,
@@ -1010,18 +1051,18 @@ WITH toks AS (
     FROM toks, unnest(generate_series(1, greatest(len(t) - {k - 1}, 1))) AS g(i)
 ), sizes AS (
     SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-), inter AS (
+), inter AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
+){cand_ctes}
+SELECT inter.doc_a, inter.doc_b,
        round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
-"""
+{cand_filter}"""
 
 
 def _ann_topk_oracle_sql(k: int, n_queries: int) -> str:

@@ -53,7 +53,8 @@ def main() -> dict:
     t_pr = time.time() - t0
 
     t0 = time.time()
-    comps, wcc_stats = weakly_connected_components(edges)
+    # co-occurrence build guarantees unique src < dst pairs
+    comps, wcc_stats = weakly_connected_components(edges, edges_canonical=True)
     n_comp = comps.select("component").distinct().count()
     t_wcc = time.time() - t0
 

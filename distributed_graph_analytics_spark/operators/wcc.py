@@ -41,11 +41,19 @@ def weakly_connected_components(
     checkpoint_manager=None,
     checkpoint_every: int = 10,
     num_partitions: int | None = None,
+    edges_canonical: bool = False,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (components(id LONG, component LONG), stats).
 
     ``component`` is the max vertex id in the component (reference
     fixture semantics, WeaklyConnectedComponentsCoreTest.scala).
+
+    ``edges_canonical=True`` asserts the input has unique undirected
+    pairs (e.g. the co-occurrence build's src < dst contract) and skips
+    the defensive ``distinct()`` on the symmetrized table — one full
+    2|E|-row shuffle saved. Duplicate edges would only add duplicate
+    max-merged messages (semantically harmless), so this is a pure
+    traffic optimization, but the default stays defensive.
     """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -59,11 +67,11 @@ def weakly_connected_components(
     # superstep join key — at full n_part parallelism (the groupBy's
     # own shuffle partitioning is not guaranteed to survive plan/AQE
     # changes).
-    sym = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
+    if not edges_canonical:
+        sym = sym.distinct()
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     nbrs = (
         sym.join(deg.hint("shuffle_hash"), "v")

@@ -64,7 +64,9 @@ def main():
           flush=True)
 
     t0 = time.time()
-    comps, wcc_stats = weakly_connected_components(edges)
+    # the replicated co-occurrence table keeps the src < dst unique-pair
+    # contract, so the defensive distinct() is skipped
+    comps, wcc_stats = weakly_connected_components(edges, edges_canonical=True)
     comps.count()
     wcc_sec = time.time() - t0
 

@@ -62,15 +62,63 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iterations", type=int, default=200)
     p.add_argument("--reverse", action="store_true", help="reverse-edge duplication")
     p.add_argument("--checkpoint-dir", default=None)
+    # reference 4-layer config coalesce (DGARunner.java:87-170): minimal
+    # defaults < --conf-file xml < --ca key=value < analytic-required
+    p.add_argument(
+        "--conf-file",
+        default=None,
+        help="dga-config.xml-shaped file (system/custom/giraph sections)",
+    )
+    p.add_argument(
+        "--ca",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="custom argument (repeatable); S:key or spark.key sets a "
+        "session conf entry",
+    )
     return p
+
+
+def resolve_config(args):
+    """Coalesce the 4 layers and fold the result into the argparse
+    namespace. A flat CLI flag the user typed explicitly still wins
+    (it IS command line); a flag left at its default yields to the
+    coalesced config, so ``--conf-file``/``--ca`` behave exactly like
+    the reference's layering."""
+    from distributed_graph_analytics_spark import config as C
+
+    file_conf = C.parse_config_xml(args.conf_file) if args.conf_file else None
+    cli_conf = C.parse_ca_args(args.ca) if args.ca else None
+    conf = C.resolve(args.analytic, file_conf, cli_conf, args.output)
+
+    parser = build_parser()
+
+    def fold(attr, key, cast):
+        if key in conf.custom and getattr(args, attr) == parser.get_default(attr):
+            setattr(args, attr, cast(conf.custom[key]))
+
+    fold("delimiter", C.EDGE_DELIMITER, str)
+    fold("reverse", C.EDGE_REVERSE_DUPLICATOR, lambda v: v.lower() == "true")
+    fold("write_vertex_value", C.WRITE_VERTEX_VALUE, lambda v: v.lower() == "true")
+    fold("write_edge_value", C.WRITE_EDGE_VALUE, lambda v: v.lower() == "true")
+    fold("minprogress", C.LOUVAIN_MIN_PROGRESS, int)
+    fold("progresscounter", C.LOUVAIN_PROGRESS_TRIES, int)
+    fold("k", C.HBSE_SET_MAX_SIZE, int)
+    fold("pivot_batch_size", C.HBSE_PIVOT_BATCH_SIZE, int)
+    if "-w" in conf.engine and args.parallelism is None:
+        args.parallelism = int(conf.engine["-w"])
+    return conf
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    conf = resolve_config(args)
     from distributed_graph_analytics_spark.session import get_spark
 
     spark = get_spark("dga-" + args.analytic, master=args.master,
-                      shuffle_partitions=args.parallelism)
+                      shuffle_partitions=args.parallelism,
+                      extra_conf=conf.system or None)
     rc = run(args, spark)
     spark.stop()
     return rc

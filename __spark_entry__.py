@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from distributed_graph_analytics_spark.operators.leaf_compression import (  # noqa: E402
     leaf_compression,
+    leaf_compression_giraph,
 )
 from distributed_graph_analytics_spark.operators.lpa import label_propagation  # noqa: E402
 from distributed_graph_analytics_spark.operators.pagerank import (  # noqa: E402
@@ -192,6 +193,94 @@ def _leaf_compression_unrolled_sql(rounds: int) -> str:
 ), v{k} AS MATERIALIZED (SELECT id FROM k{k})"""
         )
     return _EDGES_CTE + ", " + ",\n".join(ctes) + f"\nSELECT id FROM v{rounds}"
+
+
+def _lc_giraph_unrolled_sql(rounds: int) -> str:
+    """Giraph count-accumulating leaf compression, exactly unrolled
+    (operators/leaf_compression.leaf_compression_giraph; reference
+    LeafCompressionComputation.java:57-93). Per superstep: apply last
+    round's removal requests, deliver ``1 + value`` messages with
+    full-outer resurrection, drop receiver→sender edges, queue every
+    processed sender for removal, then pick the next senders (active
+    receivers with out-degree exactly 1 and value >= 0). Rounds past
+    the fixed point are no-ops, so ``rounds`` only needs to be >= the
+    convergence superstep.
+
+    The co-occurrence graph has minimum symmetric degree 42 — zero
+    leaves — so the raw input would make this query a vacuous no-op.
+    Both sides therefore seed the same deterministic leaf structure
+    (matching ``_q_leaf_compression_giraph``): a 2-vertex pendant
+    chain on each of the 40 smallest vertex ids, plus 5 isolated
+    mutual leaf pairs (the LeafCompressionComputationTest.java:132-152
+    edge case)."""
+    ctes = [
+        """ganchor AS MATERIALIZED (
+  SELECT CAST(id AS BIGINT) AS id,
+         CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS r
+  FROM (SELECT id FROM vertices ORDER BY id LIMIT 40)
+), gaug AS MATERIALIZED (
+  SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM sym
+  UNION ALL SELECT id, 9000000 + 2 * r FROM ganchor
+  UNION ALL SELECT 9000000 + 2 * r, id FROM ganchor
+  UNION ALL SELECT 9000000 + 2 * r, 9000000 + 2 * r + 1 FROM ganchor
+  UNION ALL SELECT 9000000 + 2 * r + 1, 9000000 + 2 * r FROM ganchor
+  UNION ALL SELECT 8000000 + 2 * j, 8000000 + 2 * j + 1 FROM range(5) t(j)
+  UNION ALL SELECT 8000000 + 2 * j + 1, 8000000 + 2 * j FROM range(5) t(j)
+),
+ge0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM gaug),
+gva0 AS MATERIALIZED (
+  SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS value FROM gaug
+), gs0 AS MATERIALIZED (
+  SELECT src AS id FROM ge0 GROUP BY src HAVING COUNT(*) = 1
+), gm0 AS MATERIALIZED (
+  SELECT e.dst AS to_id, e.src AS from_id, v.value AS mval
+  FROM ge0 e JOIN gs0 s ON s.id = e.src JOIN gva0 v ON v.id = e.src
+), gv0 AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN s.id IS NOT NULL THEN CAST(-1 AS BIGINT) ELSE v.value END AS value
+  FROM gva0 v LEFT JOIN gs0 s ON s.id = v.id
+), gp0 AS (SELECT id FROM gv0 WHERE 1 = 0)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""gva{k} AS MATERIALIZED (
+  SELECT v.id, v.value FROM gv{p} v WHERE v.id NOT IN (SELECT id FROM gp{p})
+), gea{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ge{p} e WHERE e.src NOT IN (SELECT id FROM gp{p})
+), grecv{k} AS MATERIALIZED (
+  SELECT to_id AS id, SUM(1 + mval) AS absorb FROM gm{p} GROUP BY to_id
+), gvb{k} AS MATERIALIZED (
+  SELECT COALESCE(v.id, r.id) AS id,
+         CAST(COALESCE(v.value, 0) + COALESCE(r.absorb, 0) AS BIGINT) AS value
+  FROM gva{k} v FULL OUTER JOIN grecv{k} r ON r.id = v.id
+), geb{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM gea{k} e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gm{p} m WHERE m.to_id = e.src AND m.from_id = e.dst)
+), gp{k} AS MATERIALIZED (SELECT DISTINCT from_id AS id FROM gm{p}),
+gs{k} AS MATERIALIZED (
+  SELECT e.src AS id FROM geb{k} e
+  JOIN grecv{k} a ON a.id = e.src
+  JOIN gvb{k} v ON v.id = e.src AND v.value >= 0
+  GROUP BY e.src HAVING COUNT(*) = 1
+), gm{k} AS MATERIALIZED (
+  SELECT e.dst AS to_id, e.src AS from_id, v.value AS mval
+  FROM geb{k} e JOIN gs{k} s ON s.id = e.src JOIN gvb{k} v ON v.id = e.src
+), gv{k} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN s.id IS NOT NULL THEN CAST(-1 AS BIGINT) ELSE v.value END AS value
+  FROM gvb{k} v LEFT JOIN gs{k} s ON s.id = v.id
+), ge{k} AS (SELECT src, dst FROM geb{k})"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, value FROM gv{rounds}
+WHERE id NOT IN (SELECT id FROM gp{rounds})"""
+    )
 
 
 def _lpa_unrolled_sql(rounds: int) -> str:
@@ -471,6 +560,9 @@ d0 AS MATERIALIZED (
 _PR_FIXED_ITERS = 10
 _WCC_ROUNDS = 20
 _LC_ROUNDS = 4
+#: Giraph-LC seeded structure settles by superstep 3 (chain length 2 +
+#: one removal round); 5 leaves headroom — extra rounds are no-ops.
+_LC_GIRAPH_ROUNDS = 5
 _LPA_ROUNDS = 5
 
 
@@ -538,6 +630,45 @@ def _q_leaf_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the directed reference semantics stay covered by the fixture tests
     verts, _edges, _ = leaf_compression(reverse_duplicate(load_edges(spark, sf_dir)))
     return verts.select("id")
+
+
+def _q_leaf_compression_giraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same undirected view as leaf_compression; value counts the
+    # leaf-chain vertices each survivor absorbed (Giraph semantics,
+    # LeafCompressionComputation.java:57-93). The co-occurrence graph
+    # has no degree-1 vertices, so seed the same deterministic pendant
+    # chains + mutual leaf pairs as _lc_giraph_unrolled_sql to make
+    # the compression non-vacuous.
+    from pyspark.sql import Window
+
+    e = reverse_duplicate(load_edges(spark, sf_dir)).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+    verts = e.select(F.col("src").alias("id")).distinct()
+    anchors = (
+        verts.orderBy("id")
+        .limit(40)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            (F.row_number().over(Window.orderBy("id")) - 1).cast("long").alias("r"),
+        )
+    )
+    c1 = (F.lit(9000000) + 2 * F.col("r")).cast("long")
+    chain = (
+        anchors.select(F.col("id").alias("src"), c1.alias("dst"))
+        .union(anchors.select(c1.alias("src"), F.col("id").alias("dst")))
+        .union(anchors.select(c1.alias("src"), (c1 + 1).cast("long").alias("dst")))
+        .union(anchors.select((c1 + 1).cast("long").alias("src"), c1.alias("dst")))
+    )
+    pairs = spark.range(5).select(
+        (F.lit(8000000) + 2 * F.col("id")).cast("long").alias("src"),
+        (F.lit(8000000) + 2 * F.col("id") + 1).cast("long").alias("dst"),
+    )
+    pairs = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts_out, _edges, _ = leaf_compression_giraph(e.union(chain).union(pairs))
+    return verts_out.select("id", "value")
 
 
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank_converged,
         "pagerank_delta_push": _q_pagerank_delta_push,
         "leaf_compression": _q_leaf_compression,
+        "leaf_compression_giraph": _q_leaf_compression_giraph,
         "triangles": _q_triangles,
         "label_propagation": _q_label_propagation,
         "louvain_level0": _q_louvain_level0,
@@ -751,6 +883,7 @@ GROUP BY id
         "pagerank_fixed10": _pagerank_unrolled_sql(_PR_FIXED_ITERS),
         "pagerank_delta_push": _delta_push_unrolled_sql(rounds=24, eps=1e-6),
         "leaf_compression": _leaf_compression_unrolled_sql(_LC_ROUNDS),
+        "leaf_compression_giraph": _lc_giraph_unrolled_sql(_LC_GIRAPH_ROUNDS),
         "triangles": _EDGES_CTE
         + """
 , tri AS (

@@ -359,6 +359,13 @@ def hbse(
     "auto" picks by edge count vs ``broadcast_max_edges``. Both
     strategies compute identical exact-Brandes values (pinned by
     tests/test_hbse.py parity test).
+
+    Driver-memory note: the broadcast path materializes the deduped
+    adjacency on the driver (as ~|V| pre-grouped array rows) before
+    broadcasting, costing roughly 50-100 bytes/edge — the 2M-edge
+    default is ~150-200 MB transient, sized for the default 16g driver;
+    lower ``broadcast_max_edges`` (or pass strategy="dataframe") on a
+    smaller driver.
     """
     t0 = time.time()
     stats = HBSEStats()

@@ -33,6 +33,7 @@ from pyspark import StorageLevel
 from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
+    materialize,
 )
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 from distributed_graph_analytics_spark.sources.edges import vertices_of
@@ -120,17 +121,20 @@ def pagerank(
                 "old_rank",
             )
         )
-        # two jobs per superstep, stats-safe: the convergence agg
-        # materializes the cache (real sizes), then the checkpoint
-        # captures THOSE stats instead of the compounding estimates a
-        # bare localCheckpoint would carry (see plans.iteration.truncate)
-        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-        max_delta = cached.agg(
-            F.max(F.abs(F.col("rank") - F.col("old_rank")) / F.col("old_rank"))
-        ).first()[0]
-        out = cached.select("id", "rank").localCheckpoint(eager=True)
-        cached.unpersist()
-        return out, {"max_delta": float(max_delta)}
+        # ONE fused job per superstep (plans.iteration.materialize):
+        # compute + cache-fill + lineage/stats truncation + the
+        # convergence scalar via Observation — the DataFrame analog of
+        # Giraph's DoubleMax aggregator with no extra pass
+        out, m = materialize(
+            new_state,
+            metrics={
+                "max_delta": F.max(
+                    F.abs(F.col("rank") - F.col("old_rank")) / F.col("old_rank")
+                )
+            },
+            project=["id", "rank"],
+        )
+        return out, {"max_delta": float(m["max_delta"])}
 
     controller = IterationController(
         max_iterations=max_iterations,
@@ -215,7 +219,8 @@ def pagerank_delta_push(
             .groupBy("dst")
             .agg(F.sum("m").alias("msg_sum"))
         )
-        new_state = truncate(
+        # one fused job: materialize + truncate + active count
+        new_state, m = materialize(
             state.select("id", "rank", "delta")
             .join(msgs.withColumnRenamed("dst", "id"), "id", "left_outer")
             .select(
@@ -229,9 +234,10 @@ def pagerank_delta_push(
                 .otherwise(F.col("delta"))
                 .alias("delta"),
                 F.col("msg_sum").isNotNull().alias("active"),
-            )
+            ),
+            metrics={"active": F.sum(F.col("active").cast("long"))},
         )
-        n_active = new_state.where("active").count()
+        n_active = int(m["active"] or 0)
         state = new_state
         stats.iterations = i
         stats.history.append({"active": n_active})

@@ -29,6 +29,7 @@ from pyspark import StorageLevel
 from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
+    materialize,
 )
 from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
@@ -121,15 +122,14 @@ def weakly_connected_components(
                 F.coalesce("changed_raw", F.lit(False)).alias("changed"),
             )
         )
-        # two jobs per superstep, stats-safe: the frontier count
-        # materializes the cache (real sizes), then the checkpoint
-        # captures THOSE stats instead of the compounding estimates a
-        # bare localCheckpoint would carry (see plans.iteration.truncate)
-        cached = new_state.persist(StorageLevel.MEMORY_AND_DISK)
-        changed = cached.where("changed").count()
-        new_state = cached.localCheckpoint(eager=True)
-        cached.unpersist()
-        return new_state, {"changed": changed}
+        # ONE fused job per superstep (plans.iteration.materialize):
+        # compute + cache-fill + lineage/stats truncation + the frontier
+        # count via Observation — no second pass over the state
+        new_state, m = materialize(
+            new_state,
+            metrics={"changed": F.sum(F.col("changed").cast("long"))},
+        )
+        return new_state, {"changed": int(m["changed"] or 0)}
 
     controller = IterationController(
         max_iterations=max_iterations,

@@ -26,14 +26,18 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark import StorageLevel
 
 
-def truncate(
-    df: DataFrame, storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK
-) -> DataFrame:
-    """Materialize + truncate lineage AND statistics.
+def materialize(
+    df: DataFrame,
+    metrics: dict[str, Column] | None = None,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    project: list[str] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Materialize + truncate lineage AND statistics — in ONE Spark job —
+    optionally computing driver-side aggregate metrics in the same pass.
 
     ``localCheckpoint`` alone truncates the logical plan but carries the
     child plan's *estimated* statistics into the new LogicalRDD
@@ -45,16 +49,40 @@ def truncate(
     SizeInBytesOnlyStatsPlanVisitor spends minutes in BigInteger
     Karatsuba multiplication and the driver appears hung.
 
-    Fix: cache and materialize first — the stats captured by the
-    checkpoint are then the InMemoryRelation's REAL byte size, constant
-    across iterations. The extra pass reads the fresh cache, so it
-    costs one cheap job; planning actually gets faster because join
-    selection stops chewing on astronomical BigInts.
+    Fix: persist first — the eager checkpoint's own count materializes
+    the cache, and ``LogicalRDD.fromDataset`` reads the plan's stats
+    AFTER that count, so it captures the InMemoryRelation's REAL byte
+    size, constant across iterations (verified: sizeInBytes digit count
+    stays flat over an 8-iteration join loop).
+
+    ``metrics`` (name → aggregate Column) ride the same job through
+    ``Observation`` — the DataFrame analog of Giraph aggregators
+    (PageRankMasterCompute.java:36) with zero extra passes: one job per
+    superstep computes the state, fills the cache, truncates lineage,
+    and delivers the convergence scalars.
     """
     cached = df.persist(storage_level)
-    cached.count()
-    out = cached.localCheckpoint(eager=True)
+    if metrics:
+        obs = Observation()
+        observed = cached.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        # project AFTER observe: the metric exprs see every column, the
+        # checkpointed RDD stores only the kept ones
+        if project:
+            observed = observed.select(*project)
+        out = observed.localCheckpoint(eager=True)
+        vals = dict(obs.get)
+    else:
+        out = (cached.select(*project) if project else cached).localCheckpoint(eager=True)
+        vals = {}
     cached.unpersist()
+    return out, vals
+
+
+def truncate(
+    df: DataFrame, storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """One-job materialize + lineage/stats truncation (see materialize)."""
+    out, _ = materialize(df, None, storage_level)
     return out
 
 

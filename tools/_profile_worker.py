@@ -39,11 +39,16 @@ def main():
     from distributed_graph_analytics_spark.session import get_spark
     from tools._scaling_worker import replicated_edges
 
+    extra = {"spark.ui.enabled": "true"}
+    for kv in os.environ.get("PROF_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k] = v
     spark = get_spark(
         f"prof-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=parts,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

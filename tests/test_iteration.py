@@ -1,0 +1,68 @@
+"""Unit tests for plans.iteration.materialize — the fused
+one-job-per-superstep primitive (compute + cache fill + lineage/stats
+truncation + Observation metrics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_analytics_spark.plans.iteration import materialize, truncate
+
+
+def test_materialize_metrics_and_project(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 12.0), (2, 20.0, 25.0), (3, 30.0, 30.0)],
+        "id long, old double, new double",
+    )
+    out, m = materialize(
+        df,
+        metrics={
+            "max_delta": F.max(F.abs(F.col("new") - F.col("old")) / F.col("old")),
+            "n": F.count(F.lit(1)),
+        },
+        project=["id", "new"],
+    )
+    # metric sees all columns (old dropped only after observe)
+    assert m["n"] == 3
+    assert abs(m["max_delta"] - 0.25) < 1e-12
+    # projection applied to the checkpointed result
+    assert out.columns == ["id", "new"]
+    assert {tuple(r) for r in out.collect()} == {(1, 12.0), (2, 25.0), (3, 30.0)}
+    # lineage truncated: plan is a scan, not the original expressions
+    assert "LogicalRDD" in out._jdf.queryExecution().logical().toString()
+
+
+def test_materialize_no_metrics(spark):
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out, m = materialize(df)
+    assert m == {}
+    assert out.count() == 5
+
+
+def test_materialize_empty_frame_metric_is_none(spark):
+    df = spark.createDataFrame([], "id long, changed boolean")
+    out, m = materialize(
+        df, metrics={"changed": F.sum(F.col("changed").cast("long"))}
+    )
+    # SUM over zero rows is NULL -> None; operators coalesce with `or 0`
+    assert m["changed"] is None
+    assert out.count() == 0
+
+
+def test_truncate_stats_do_not_compound(spark):
+    """The stats-compounding regression (BENCH/BASELINE.md 'What
+    changed' #3): repeated join+truncate must keep sizeInBytes flat
+    instead of multiplying each iteration."""
+    state = spark.range(100).select(F.col("id"), F.lit(1.0).alias("x"))
+    other = spark.range(100).select(F.col("id"), F.lit(2.0).alias("y"))
+    digits = []
+    for _ in range(4):
+        state = truncate(
+            state.join(other, "id").select(
+                "id", (F.col("x") + F.col("y")).alias("x")
+            )
+        )
+        stats = (
+            state._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        digits.append(len(str(stats)))
+    assert max(digits) - min(digits) <= 1, digits

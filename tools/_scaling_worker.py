@@ -58,9 +58,13 @@ def main():
     ranks, pr_stats = pagerank(edges)
     n_v = ranks.count()
     pr_sec = time.time() - t0
+    # decomposition: sum of per-superstep secs vs one-time build
+    # (adjacency pack + vertex count) — the scaling analysis needs both
+    pr_iter_sec = round(sum(h.get("sec", 0.0) for h in pr_stats.history), 3)
     # partial line first: a WCC failure/timeout must not lose the PR leg
     print(json.dumps({"partial": "pr", "cpus": cpus, "edges": n_edges,
-                      "pr_sec": round(pr_sec, 3), "pr_iters": pr_stats.iterations}),
+                      "pr_sec": round(pr_sec, 3), "pr_iters": pr_stats.iterations,
+                      "pr_iter_sec": pr_iter_sec}),
           flush=True)
 
     t0 = time.time()
@@ -80,6 +84,10 @@ def main():
                 "wcc_sec": round(wcc_sec, 3),
                 "pr_iters": pr_stats.iterations,
                 "wcc_iters": wcc_stats.iterations,
+                "pr_iter_sec": pr_iter_sec,
+                "wcc_iter_sec": round(
+                    sum(h.get("sec", 0.0) for h in wcc_stats.history), 3
+                ),
             }
         )
     )

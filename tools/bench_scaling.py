@@ -28,44 +28,59 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNNER = os.path.join(REPO, "tools", "_scaling_worker.py")
 
 
-def run_one(cpus: int, sf_dir: str, replicate: int, repeats: int = 2) -> dict:
-    """Best-of-N fresh-JVM runs (the sandbox host is noisy; min is the
-    standard noise-robust estimator for wall-clock benchmarks).
+def run_once(cpus: int, sf_dir: str, replicate: int) -> dict:
+    """One fresh-JVM run at `cpus` local cores.
 
-    Each leg is pinned to exactly `cpus` hardware cores with taskset
-    (SPARK_GRAFT_PIN=0 disables). Without pinning, local[N] on a 32-core
-    box is NOT an N-core machine: the JVM's GC/JIT/netty/IO threads and
-    the Parquet reader prefetch all run on the 32-N spare cores, which
-    speeds up the small leg relative to a real N-core executor container
-    (where cgroups cap ALL threads) and understates scaling efficiency.
-    Pinning is the faithful emulation of "N cores vs 4N cores"."""
-    best = None
-    runs = []
-    pin = os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
+    `SPARK_GRAFT_PIN=1` additionally pins the JVM to exactly `cpus`
+    hardware cores with taskset (strict N-core-container emulation).
+    Default is UNPINNED local[N]: the sandbox host shows up to 3.4x
+    wall-clock variance between identical back-to-back runs (recorded in
+    BENCH/BASELINE.md), which dwarfs any pinning effect, and the
+    evidence methodology prescribed for this sandbox is two parallelism
+    levels of the same job (local[N] vs local[4N]) on the same input."""
+    pin = os.environ.get("SPARK_GRAFT_PIN", "0") == "1"
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_REPLICATE=str(replicate),
+        # identical heap both legs; large enough that the replicated
+        # persisted state does not thrash at either core count
+        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
+    )
+    cmd = [sys.executable, RUNNER]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
+    if out.returncode != 0:
+        raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_interleaved(
+    n_small: int, n_big: int, sf_dir: str, replicate: int, repeats: int
+) -> tuple[dict, dict]:
+    """`repeats` rounds of (N leg, 4N leg) back-to-back — interleaving
+    keeps both legs inside the same noise regime of the shared-tenant
+    host; min per leg is the noise-robust wall-clock estimator."""
+    best: dict[int, dict] = {}
+    runs: dict[int, list] = {n_small: [], n_big: []}
     for _ in range(repeats):
-        env = dict(os.environ)
-        env.update(
-            SPARK_GRAFT_SF_DIR=sf_dir,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_REPLICATE=str(replicate),
-            # identical heap both legs; large enough that the 300M-edge
-            # persisted state does not thrash at either core count
-            SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
-        )
-        cmd = [sys.executable, RUNNER]
-        if pin:
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, cwd=REPO
-        )
-        if out.returncode != 0:
-            raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stderr[-3000:]}")
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        runs.append(round(r["pr_sec"] + r["wcc_sec"], 2))
-        if best is None or r["pr_sec"] + r["wcc_sec"] < best["pr_sec"] + best["wcc_sec"]:
-            best = r
-    best["all_runs_sec"] = runs
-    return best
+        for cpus in (n_small, n_big):
+            r = run_once(cpus, sf_dir, replicate)
+            total = round(r["pr_sec"] + r["wcc_sec"], 2)
+            runs[cpus].append(total)
+            prev = best.get(cpus)
+            if prev is None or total < prev["pr_sec"] + prev["wcc_sec"]:
+                best[cpus] = r
+            print(
+                json.dumps({"leg_done": cpus, "total_sec": total}),
+                file=sys.stderr,
+                flush=True,
+            )
+    for cpus in (n_small, n_big):
+        best[cpus]["all_runs_sec"] = runs[cpus]
+    return best[n_small], best[n_big]
 
 
 def main():
@@ -80,8 +95,7 @@ def main():
     n_big = 4 * n_small
 
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
-    res_small = run_one(n_small, sf_dir, replicate, repeats)
-    res_big = run_one(n_big, sf_dir, replicate, repeats)
+    res_small, res_big = run_interleaved(n_small, n_big, sf_dir, replicate, repeats)
 
     t_small = res_small["pr_sec"] + res_small["wcc_sec"]
     t_big = res_big["pr_sec"] + res_big["wcc_sec"]
@@ -97,7 +111,7 @@ def main():
         "edges_per_sec_4n": round(res_big["edges"] / t_big),
         "efficiency": round(efficiency, 3),
         "pass": efficiency >= 0.8,
-        "pinned": os.environ.get("SPARK_GRAFT_PIN", "1") != "0",
+        "pinned": os.environ.get("SPARK_GRAFT_PIN", "0") == "1",
         "detail": {"n": res_small, "4n": res_big},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -146,16 +160,18 @@ def render_results_section(s: dict, sf_dir: str, replicate: int) -> str:
   ({d_n["pr_iters"]} iterations) + WCC max-label propagation to fixed
   point ({d_n["wcc_iters"]} iterations); identical code path both runs
   (`tools/_scaling_worker.py`), `spark.sql.shuffle.partitions` = cores;
-  each leg pinned to exactly its core count with `taskset` (so the
-  JVM's GC/JIT/IO threads cannot borrow the spare cores the way a real
-  N-core executor container never could);
-  best of {len(d_n.get("all_runs_sec", []))} fresh-JVM runs per level
+  legs interleaved N,4N,N,4N in fresh JVMs (same noise regime for both
+  levels on the shared-tenant host), min of
+  {len(d_n.get("all_runs_sec", []))} runs per level
   (all runs: N={d_n.get("all_runs_sec")}, 4N={d_4n.get("all_runs_sec")})
 
-| cores | PageRank s | WCC s | total s | edges/s to convergence |
+| cores | PageRank s (supersteps) | WCC s (supersteps) | total s | edges/s to convergence |
 |---|---|---|---|---|
-| N = {s["n_cores"]} | {d_n["pr_sec"]:.1f} | {d_n["wcc_sec"]:.1f} | {s["t_n_sec"]} | {s["edges_per_sec_n"]:,} |
-| 4N = {s["n4_cores"]} | {d_4n["pr_sec"]:.1f} | {d_4n["wcc_sec"]:.1f} | {s["t_4n_sec"]} | {s["edges_per_sec_4n"]:,} |
+| N = {s["n_cores"]} | {d_n["pr_sec"]:.1f} ({d_n.get("pr_iter_sec", 0):.1f}) | {d_n["wcc_sec"]:.1f} ({d_n.get("wcc_iter_sec", 0):.1f}) | {s["t_n_sec"]} | {s["edges_per_sec_n"]:,} |
+| 4N = {s["n4_cores"]} | {d_4n["pr_sec"]:.1f} ({d_4n.get("pr_iter_sec", 0):.1f}) | {d_4n["wcc_sec"]:.1f} ({d_4n.get("wcc_iter_sec", 0):.1f}) | {s["t_4n_sec"]} | {s["edges_per_sec_4n"]:,} |
+
+("supersteps" = sum of per-iteration seconds; the remainder is the
+one-time adjacency build + vertex materialization.)
 
 **Scaling efficiency = T_N / (4 * T_4N) = {s["efficiency"]}**
 (threshold 0.8: {"PASS" if s["pass"] else "FAIL"})

@@ -68,11 +68,18 @@ def weakly_connected_components(
     # superstep join key — at full n_part parallelism (the groupBy's
     # own shuffle partitioning is not guaranteed to survive plan/AQE
     # changes).
+    # the hash(v) layout pin lives on the cheap FLAT rows (see the
+    # identical pattern in pagerank.py): the deg join and the packing
+    # groupBy both cluster on v, so the packed output inherits hash(v)
+    # partitioning with no exchange of array rows; materialization via
+    # localCheckpoint stores raw UnsafeRows, skipping the columnar
+    # encode/decode of the arrays on every superstep scan.
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
     if not edges_canonical:
         sym = sym.distinct()
+    sym = sym.repartition(n_part, "v")
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     nbrs = (
         sym.join(deg.hint("shuffle_hash"), "v")
@@ -91,7 +98,7 @@ def weakly_connected_components(
     )
     vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
-    nbrs = nbrs.repartition(n_part, "v").persist(StorageLevel.MEMORY_AND_DISK)
+    nbrs = nbrs.localCheckpoint(eager=True)
     # state carries the frontier flag; superstep 0 = everyone active
     init = vertices.select(
         F.col("id"), F.col("id").alias("component"), F.lit(True).alias("changed")
@@ -140,6 +147,6 @@ def weakly_connected_components(
     final, stats = controller.run(
         init, step, converged=lambda m, i: m["changed"] == 0, name="wcc"
     )
-    nbrs.unpersist()
+    # nbrs is a localCheckpoint: blocks freed by ContextCleaner post-GC
     vertices.unpersist()
     return final.select("id", "component"), stats

@@ -43,10 +43,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # iterative loops localCheckpoint per superstep; the blocks are
         # freed by the ContextCleaner only after a driver GC — force one
-        # regularly or long runs accumulate every iteration's state
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # regularly or long runs accumulate every iteration's state.
+        # (Benchmarks may relax this: per-superstep state blocks are
+        # ~10s of MB, so minutes between GCs cost little memory, while
+        # a forced 48g-heap full GC is a fixed serial cost per run.)
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.ui.enabled", "false")
     )
+    # optional GC override for benchmarking (e.g. "-XX:+UseParallelGC":
+    # throughput collector; G1's concurrent threads share the worker
+    # cores, a per-core tax that distorts small-core-count legs)
+    gc_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if gc_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -33,6 +33,7 @@ from pyspark import StorageLevel
 from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
+    aqe_off,
     materialize,
 )
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
@@ -42,6 +43,43 @@ from distributed_graph_analytics_spark.sources.edges import vertices_of
 #: this degree are salted across ceil(deg / ADJ_CHUNK) chunk rows so no
 #: single row (or its explode task) concentrates a hub's fan-out
 ADJ_CHUNK = 65_536
+
+
+def build_out_adjacency(edges: DataFrame, n_part: int) -> DataFrame:
+    """Chunked CSR-style out-adjacency: (src, dsts ARRAY<LONG>, inv_deg).
+
+    The hash(src) layout pin lives on the cheap FLAT (src,dst) rows: the
+    shuffle-hash join and the packing groupBy both cluster on src
+    (HashPartitioning(src) satisfies ClusteredDistribution of any key
+    set containing src), so the packed-array output inherits this exact
+    partitioning with NO further exchange. Repartitioning AFTER packing
+    instead (one explicit exchange of array rows) measured ~50s of a
+    ~62s adjacency build at 38M edges / 4 cores — array rows are
+    expensive to shuffle and columnar-encode.
+
+    Hubs above ADJ_CHUNK out-degree are salted across
+    ceil(deg/ADJ_CHUNK) chunk rows (chunk = hash(dst) % nchunks) so no
+    single row, or the explode task scanning it, concentrates a hub's
+    fan-out. out_deg counts parallel edges separately (Giraph
+    sendMessageToAllEdges, PageRankComputation.java:51-81).
+    """
+    e_parted = edges.select("src", "dst").repartition(n_part, "src")
+    out_deg = e_parted.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return (
+        e_parted.join(out_deg.hint("shuffle_hash"), "src")
+        .withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64("dst"),
+                F.greatest(
+                    (F.col("out_deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
+                ),
+            ),
+        )
+        .groupBy("src", "chunk", "out_deg")
+        .agg(F.collect_list("dst").alias("dsts"))
+        .select("src", "dsts", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+    )
 
 
 def pagerank(
@@ -66,43 +104,33 @@ def pagerank(
     # one packed array per source instead of out_deg rows) and the
     # state join probes |V|-ish rows instead of |E|. out_deg counts
     # parallel edges separately (Giraph sendMessageToAllEdges).
-    # the hash(src) layout pin lives HERE, on the cheap flat (src,dst)
-    # rows: the shuffle-hash join and the groupBy below both cluster on
-    # src (HashPartitioning(src) satisfies ClusteredDistribution of any
-    # key set containing src), so the packed-array output inherits this
-    # exact partitioning with NO further exchange. Repartitioning AFTER
-    # packing instead (one explicit exchange of 0.6M array rows) was
-    # measured at ~50s of a ~62s adjacency build at 38M edges/4 cores —
-    # array rows are expensive to shuffle and columnar-encode.
-    e_parted = edges.select("src", "dst").repartition(n_part, "src")
-    out_deg = e_parted.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    adj = (
-        e_parted.join(out_deg.hint("shuffle_hash"), "src")
-        .withColumn(
-            "chunk",
-            F.pmod(
-                F.xxhash64("dst"),
-                F.greatest(
-                    (F.col("out_deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
-                ),
-            ),
-        )
-        .groupBy("src", "chunk", "out_deg")
-        .agg(F.collect_list("dst").alias("dsts"))
-        .select("src", "dsts", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+    adj = build_out_adjacency(edges, n_part)
+    # materialize via localCheckpoint, not persist: RDD blocks hold raw
+    # UnsafeRows, skipping the InMemoryRelation columnar encode on write
+    # AND the per-superstep columnar decode of the packed arrays
+    # (measured ~6s/scan at 0.6M array rows). aqe_off so the LogicalRDD
+    # keeps the concrete hash(src) partitioning (under AQE it would be
+    # UnknownPartitioning and every superstep would re-shuffle the
+    # arrays — see plans.iteration.aqe_off)
+    with aqe_off(spark):
+        adj = adj.localCheckpoint(eager=True)
+    # vertex set from the cheapest available sources: the checkpointed
+    # adjacency's src column (already distinct-ish and hash(src)
+    # clustered — every vertex with out-edges) unioned with one pruned
+    # dst scan covers dangling vertices too. Equivalent to
+    # vertices_of(edges) (explode src+dst -> distinct) at roughly half
+    # the probe volume: 0.6M + |E| rows instead of 2|E| exploded rows.
+    vertices = (
+        adj.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
     if n == 0:  # empty graph: no 1/N seed to compute
         stats = IterationStats()
         stats.converged = True
         return vertices.select("id", F.lit(0.0).alias("rank")), stats
-    # materialize via localCheckpoint, not persist: RDD blocks hold raw
-    # UnsafeRows, skipping the InMemoryRelation columnar encode on write
-    # AND the per-superstep columnar decode of the packed arrays
-    # (measured ~6s/scan at 0.6M array rows); LogicalRDD preserves the
-    # hash(src) outputPartitioning so every superstep join still sees it
-    adj = adj.localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n
     init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 

@@ -29,11 +29,45 @@ from pyspark import StorageLevel
 from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
+    aqe_off,
     materialize,
 )
 from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
-from distributed_graph_analytics_spark.sources.edges import vertices_of
+
+
+def build_sym_adjacency(
+    edges: DataFrame, n_part: int, edges_canonical: bool = False
+) -> DataFrame:
+    """Symmetric packed adjacency keyed by the sender: (v, us ARRAY<LONG>).
+
+    Same layout discipline as pagerank.build_out_adjacency: the hash(v)
+    pin lives on the cheap FLAT rows — the deg join and the packing
+    groupBy both cluster on v, so the packed output inherits hash(v)
+    partitioning with no exchange of array rows. Hubs are salted across
+    ceil(deg/ADJ_CHUNK) chunk rows."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    if not edges_canonical:
+        sym = sym.distinct()
+    sym = sym.repartition(n_part, "v")
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        sym.join(deg.hint("shuffle_hash"), "v")
+        .withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64("u"),
+                F.greatest(
+                    (F.col("deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
+                ),
+            ),
+        )
+        .groupBy("v", "chunk")
+        .agg(F.collect_list("u").alias("us"))
+        .select("v", "us")
+    )
 
 
 def weakly_connected_components(
@@ -61,44 +95,24 @@ def weakly_connected_components(
     # symmetric, deduped adjacency, packed into CSR-style array rows
     # keyed by the *sender* v (north star: "CSR-style adjacency
     # blocks"): per superstep the frontier joins |V|-ish packed rows
-    # instead of 2|E| flat rows, and the cache scan shrinks ~3x. Hub
-    # salting: receivers of a hub are split across ceil(deg/ADJ_CHUNK)
-    # chunk rows so no single row concentrates a hub's fan-out. The
-    # explicit repartition below pins the cached table to hash(v) — the
-    # superstep join key — at full n_part parallelism (the groupBy's
-    # own shuffle partitioning is not guaranteed to survive plan/AQE
-    # changes).
-    # the hash(v) layout pin lives on the cheap FLAT rows (see the
-    # identical pattern in pagerank.py): the deg join and the packing
-    # groupBy both cluster on v, so the packed output inherits hash(v)
-    # partitioning with no exchange of array rows; materialization via
-    # localCheckpoint stores raw UnsafeRows, skipping the columnar
-    # encode/decode of the arrays on every superstep scan.
-    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
-        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    # instead of 2|E| flat rows, and the cache scan shrinks ~3x.
+    # Materialized via localCheckpoint: raw UnsafeRows, no columnar
+    # encode/decode of the arrays (see pagerank.py for the measurement).
+    nbrs = build_sym_adjacency(edges, n_part, edges_canonical=edges_canonical)
+    # aqe_off: keep the concrete hash(v) partitioning in the LogicalRDD
+    # (see plans.iteration.aqe_off and pagerank.py)
+    with aqe_off(spark):
+        nbrs = nbrs.localCheckpoint(eager=True)
+    # the symmetric table contains every vertex as a sender v, so the
+    # vertex set falls out of the checkpointed 0.6M packed rows (already
+    # hash(v)-clustered -> the distinct adds NO exchange) instead of
+    # vertices_of's 2|E|-row explode+distinct
+    vertices = (
+        nbrs.select(F.col("v").alias("id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if not edges_canonical:
-        sym = sym.distinct()
-    sym = sym.repartition(n_part, "v")
-    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
-    nbrs = (
-        sym.join(deg.hint("shuffle_hash"), "v")
-        .withColumn(
-            "chunk",
-            F.pmod(
-                F.xxhash64("u"),
-                F.greatest(
-                    (F.col("deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
-                ),
-            ),
-        )
-        .groupBy("v", "chunk")
-        .agg(F.collect_list("u").alias("us"))
-        .select("v", "us")
-    )
-    vertices = vertices_of(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = vertices.count()
-    nbrs = nbrs.localCheckpoint(eager=True)
     # state carries the frontier flag; superstep 0 = everyone active
     init = vertices.select(
         F.col("id"), F.col("id").alias("component"), F.lit(True).alias("changed")

@@ -23,11 +23,34 @@ cross-cutting physics that the reference hand-codes per algorithm:
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark import StorageLevel
+
+
+@contextmanager
+def aqe_off(spark):
+    """Disable adaptive execution for one action.
+
+    ``localCheckpoint`` captures ``physicalPlan.outputPartitioning``
+    into the resulting LogicalRDD — but under AQE the physical plan is
+    an AdaptiveSparkPlanExec whose partitioning reports
+    UnknownPartitioning, so every later join against the checkpointed
+    state/adjacency re-exchanges it (measured: the packed adjacency
+    arrays re-shuffled EVERY superstep). With AQE off for just the
+    checkpoint action the concrete hashpartitioning(key, n) survives,
+    and per-superstep joins against it need no exchange on that side.
+    The loss is AQE's runtime skew-split for that one job — hub skew is
+    already handled explicitly by ADJ_CHUNK salting."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def materialize(
@@ -62,18 +85,21 @@ def materialize(
     and delivers the convergence scalars.
     """
     cached = df.persist(storage_level)
-    if metrics:
-        obs = Observation()
-        observed = cached.observe(obs, *[c.alias(k) for k, c in metrics.items()])
-        # project AFTER observe: the metric exprs see every column, the
-        # checkpointed RDD stores only the kept ones
-        if project:
-            observed = observed.select(*project)
-        out = observed.localCheckpoint(eager=True)
-        vals = dict(obs.get)
-    else:
-        out = (cached.select(*project) if project else cached).localCheckpoint(eager=True)
-        vals = {}
+    with aqe_off(df.sparkSession):
+        if metrics:
+            obs = Observation()
+            observed = cached.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+            # project AFTER observe: the metric exprs see every column,
+            # the checkpointed RDD stores only the kept ones
+            if project:
+                observed = observed.select(*project)
+            out = observed.localCheckpoint(eager=True)
+            vals = dict(obs.get)
+        else:
+            out = (
+                cached.select(*project) if project else cached
+            ).localCheckpoint(eager=True)
+            vals = {}
     cached.unpersist()
     return out, vals
 

@@ -1,0 +1,113 @@
+"""Plan-shape invariants for the packed CSR-style adjacency builds.
+
+The scaling work (BENCH/BASELINE.md) showed that shuffling or
+columnar-encoding the PACKED array rows dominates the whole job, so
+these tests pin the physical properties that keep the packing cheap:
+
+1. exactly one Exchange below the packing aggregate, and it moves the
+   FLAT rows (the explicit repartition on src/v) — never the arrays;
+2. the packing aggregate's output partitioning is the superstep join
+   key, so the per-iteration join adds no exchange on the packed side;
+3. localCheckpoint preserves that partitioning into the LogicalRDD the
+   supersteps actually join against.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_analytics_spark.operators.pagerank import build_out_adjacency
+from distributed_graph_analytics_spark.operators.wcc import build_sym_adjacency
+from distributed_graph_analytics_spark.plans.iteration import aqe_off
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_out_adjacency_single_flat_exchange(edges):
+    adj = build_out_adjacency(edges, n_part=4)
+    plan = _executed_plan(adj)
+    # every Exchange in the aggregate's subtree must be over flat
+    # (src,dst)-shaped rows: none may carry an array column
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
+    assert exchanges, "expected the explicit flat repartition Exchange"
+    for ln in exchanges:
+        assert "dsts" not in ln, f"array rows being shuffled: {ln}"
+    # the packing aggregate runs directly on the join output — no
+    # exchange between the ObjectHashAggregate pair (partial+final)
+    agg_idx = [i for i, ln in enumerate(plan.splitlines()) if "ObjectHashAggregate" in ln]
+    assert len(agg_idx) >= 2, plan
+    between = plan.splitlines()[agg_idx[0] + 1 : agg_idx[1]]
+    assert not any("Exchange" in ln for ln in between), (
+        "exchange between partial and final packing aggregate:\n" + "\n".join(between)
+    )
+
+
+def test_out_adjacency_checkpoint_keeps_partitioning(spark, edges):
+    # under AQE the checkpoint's LogicalRDD degrades to
+    # UnknownPartitioning (AdaptiveSparkPlanExec hides the concrete
+    # layout), which silently re-shuffles the arrays every superstep —
+    # the aqe_off wrapper is what preserves it (plans.iteration.aqe_off)
+    with aqe_off(spark):
+        adj = build_out_adjacency(edges, n_part=4).localCheckpoint(eager=True)
+    part = str(adj._jdf.queryExecution().executedPlan().outputPartitioning())
+    assert re.search(r"hashpartitioning\(src#\d+L?, 4\)", part), part
+
+
+def test_sym_adjacency_checkpoint_keeps_partitioning(spark, edges):
+    with aqe_off(spark):
+        nbrs = build_sym_adjacency(
+            edges, n_part=4, edges_canonical=True
+        ).localCheckpoint(eager=True)
+    part = str(nbrs._jdf.queryExecution().executedPlan().outputPartitioning())
+    assert re.search(r"hashpartitioning\(v#\d+L?, 4\)", part), part
+
+
+def test_superstep_join_no_exchange_on_checkpointed_adj(spark, edges):
+    """The per-superstep join against the checkpointed adjacency must
+    exchange ONLY the state side."""
+    from pyspark.sql import functions as F
+
+    with aqe_off(spark):
+        adj = build_out_adjacency(edges, n_part=4).localCheckpoint(eager=True)
+        state = spark.createDataFrame(
+            [(1, 0.25), (2, 0.25)], "id long, rank double"
+        ).hint("shuffle_hash")
+        plan = _executed_plan(adj.join(state, adj["src"] == state["id"]))
+    exchanges = [
+        ln.strip() for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "id#" in exchanges[0], exchanges[0]
+
+
+def test_out_adjacency_contents(edges):
+    rows = {
+        r["src"]: (sorted(r["dsts"]), r["inv_deg"])
+        for r in build_out_adjacency(edges, n_part=2).collect()
+    }
+    assert rows[1] == ([2, 3], 0.5)
+    assert rows[2] == ([3], 1.0)
+    assert rows[3] == ([4], 1.0)
+    assert rows[4] == ([1], 1.0)
+
+
+def test_sym_adjacency_contents(edges):
+    rows = {
+        r["v"]: sorted(r["us"])
+        for r in build_sym_adjacency(edges, n_part=2, edges_canonical=True).collect()
+    }
+    assert rows[1] == [2, 3, 4]
+    assert rows[2] == [1, 3]
+    assert rows[3] == [1, 2, 4]
+    assert rows[4] == [1, 3]

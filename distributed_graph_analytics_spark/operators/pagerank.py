@@ -12,11 +12,11 @@ term — identical to Giraph, where sendMessageToAllEdges over zero edges
 is a no-op.
 
 Spark-first design:
-- out-degree is joined into the edge table ONCE before the loop, so the
-  per-superstep work is exactly one shuffle join (edges ⋈ ranks on src)
-  + one partial-aggregated groupBy(dst) + one left join back to the
-  vertex set — three exchanges, two of which reuse the same hash
-  partitioning on the vertex id;
+- the adjacency is packed ONCE before the loop into CSR-style array
+  rows (out-degree falls out of the array size — no degree join), so
+  the per-superstep work is one shuffle join (packed adjacency ⋈ ranks
+  on src, no exchange on the packed side) + one partial-aggregated
+  groupBy(dst) + one left join back to the vertex set;
 - the convergence scalar piggybacks on the state materialization
   (single agg over the new state), the DataFrame analog of Giraph's
   DoubleMax aggregator;
@@ -26,7 +26,7 @@ Spark-first design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
@@ -45,40 +45,55 @@ from distributed_graph_analytics_spark.sources.edges import vertices_of
 ADJ_CHUNK = 65_536
 
 
+def _chunked(arr_col: str) -> Column:
+    """Split a packed neighbor array into ADJ_CHUNK-bounded slices
+    (1-based F.slice), ready to explode into one row per chunk."""
+    return F.transform(
+        F.sequence(
+            F.lit(0), ((F.size(arr_col) - F.lit(1)) / F.lit(ADJ_CHUNK)).cast("int")
+        ),
+        lambda i: F.slice(F.col(arr_col), i * F.lit(ADJ_CHUNK) + F.lit(1), ADJ_CHUNK),
+    )
+
+
 def build_out_adjacency(edges: DataFrame, n_part: int) -> DataFrame:
     """Chunked CSR-style out-adjacency: (src, dsts ARRAY<LONG>, inv_deg).
 
     The hash(src) layout pin lives on the cheap FLAT (src,dst) rows: the
-    shuffle-hash join and the packing groupBy both cluster on src
-    (HashPartitioning(src) satisfies ClusteredDistribution of any key
-    set containing src), so the packed-array output inherits this exact
-    partitioning with NO further exchange. Repartitioning AFTER packing
-    instead (one explicit exchange of array rows) measured ~50s of a
-    ~62s adjacency build at 38M edges / 4 cores — array rows are
-    expensive to shuffle and columnar-encode.
+    packing groupBy clusters on src (HashPartitioning(src) satisfies
+    ClusteredDistribution of any key set containing src), so the
+    packed-array output inherits this exact partitioning with NO further
+    exchange — and the hub split below is a Generate node, which also
+    preserves it. Repartitioning AFTER packing instead (one explicit
+    exchange of array rows) measured ~50s of a ~62s adjacency build at
+    38M edges / 4 cores — array rows are expensive to shuffle and
+    columnar-encode.
 
-    Hubs above ADJ_CHUNK out-degree are salted across
-    ceil(deg/ADJ_CHUNK) chunk rows (chunk = hash(dst) % nchunks) so no
-    single row, or the explode task scanning it, concentrates a hub's
-    fan-out. out_deg counts parallel edges separately (Giraph
-    sendMessageToAllEdges, PageRankComputation.java:51-81).
+    Hub salting happens AFTER the pack: rows above ADJ_CHUNK out-degree
+    are sliced into ceil(deg/ADJ_CHUNK) chunk rows by position, so no
+    single row (or the explode task scanning it) concentrates a hub's
+    fan-out. Packing first removes the degree pre-join an up-front salt
+    would need — a 0.65-scaling 38M-row shuffle-hash join measured as
+    the worst phase of the whole build (BENCH/BASELINE.md). The cost is
+    one transient aggregation buffer holding a hub's full neighbor list
+    (8 bytes/neighbor: a 10M-degree hub = one 80 MB buffer, within
+    executor budgets; ObjectHashAggregate falls back to sort-based
+    spill past spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    keys, so many concurrent hubs degrade gracefully).
+
+    out_deg counts parallel edges separately (Giraph
+    sendMessageToAllEdges, PageRankComputation.java:51-81) and falls
+    out of the packed array size — no degree join at all.
     """
     e_parted = edges.select("src", "dst").repartition(n_part, "src")
-    out_deg = e_parted.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     return (
-        e_parted.join(out_deg.hint("shuffle_hash"), "src")
-        .withColumn(
-            "chunk",
-            F.pmod(
-                F.xxhash64("dst"),
-                F.greatest(
-                    (F.col("out_deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
-                ),
-            ),
+        e_parted.groupBy("src")
+        .agg(F.collect_list("dst").alias("all_dsts"))
+        .select(
+            "src",
+            F.explode(_chunked("all_dsts")).alias("dsts"),
+            (F.lit(1.0) / F.size("all_dsts")).alias("inv_deg"),
         )
-        .groupBy("src", "chunk", "out_deg")
-        .agg(F.collect_list("dst").alias("dsts"))
-        .select("src", "dsts", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
     )
 
 
@@ -97,13 +112,11 @@ def pagerank(
 
     # CSR-style adjacency blocks (north star: "range-partitioned
     # CSR-style adjacency blocks persisted per iteration"): out-edges
-    # grouped per source into arrays, chunked so a hub vertex never
-    # produces one giant row (explicit hub salting — chunk key =
-    # hash(dst) % ceil(deg / max_adj_chunk)). vs a flat (src, dst)
-    # table this shrinks the per-superstep cache scan ~3x (one row +
-    # one packed array per source instead of out_deg rows) and the
-    # state join probes |V|-ish rows instead of |E|. out_deg counts
-    # parallel edges separately (Giraph sendMessageToAllEdges).
+    # grouped per source into arrays, hub rows sliced to ADJ_CHUNK after
+    # the pack (see build_out_adjacency). vs a flat (src, dst) table
+    # this shrinks the per-superstep cache scan ~3x (one row + one
+    # packed array per source instead of out_deg rows) and the state
+    # join probes |V|-ish rows instead of |E|.
     adj = build_out_adjacency(edges, n_part)
     # materialize via localCheckpoint, not persist: RDD blocks hold raw
     # UnsafeRows, skipping the InMemoryRelation columnar encode on write

@@ -9,9 +9,10 @@ long comparison (GraphX semantics; the Giraph twin compares strings —
 SURVEY.md §1.1 picks numeric).
 
 Spark-first design:
-- the symmetric neighbor view is built once, de-duplicated, persisted,
-  and pre-partitioned on the join key so every superstep's shuffle
-  reuses the same partitioning;
+- the symmetric neighbor view is built once, de-duplicated, packed into
+  CSR-style array rows pre-partitioned on the join key, and
+  materialized as raw rows (localCheckpoint under aqe_off) so every
+  superstep joins it with no exchange on the packed side;
 - frontier optimization (the DataFrame analog of Pregel's active set):
   max-labels only grow, so only vertices whose label changed last
   superstep need to re-broadcast — the per-iteration join probes a
@@ -32,7 +33,7 @@ from distributed_graph_analytics_spark.plans.iteration import (
     aqe_off,
     materialize,
 )
-from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK
+from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK, _chunked
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 
 
@@ -42,31 +43,23 @@ def build_sym_adjacency(
     """Symmetric packed adjacency keyed by the sender: (v, us ARRAY<LONG>).
 
     Same layout discipline as pagerank.build_out_adjacency: the hash(v)
-    pin lives on the cheap FLAT rows — the deg join and the packing
-    groupBy both cluster on v, so the packed output inherits hash(v)
-    partitioning with no exchange of array rows. Hubs are salted across
-    ceil(deg/ADJ_CHUNK) chunk rows."""
+    pin lives on the cheap FLAT rows — the packing groupBy clusters on
+    v, so the packed output inherits hash(v) partitioning, and the hub
+    split is a Generate node that preserves it; no exchange of array
+    rows, and no degree pre-join (hubs are sliced into
+    ceil(deg/ADJ_CHUNK) rows by position AFTER the pack — the degree
+    join was measured as the worst-scaling phase of the whole WCC
+    build, see BENCH/BASELINE.md)."""
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
     if not edges_canonical:
         sym = sym.distinct()
-    sym = sym.repartition(n_part, "v")
-    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     return (
-        sym.join(deg.hint("shuffle_hash"), "v")
-        .withColumn(
-            "chunk",
-            F.pmod(
-                F.xxhash64("u"),
-                F.greatest(
-                    (F.col("deg") / F.lit(ADJ_CHUNK)).cast("long") + 1, F.lit(1)
-                ),
-            ),
-        )
-        .groupBy("v", "chunk")
-        .agg(F.collect_list("u").alias("us"))
-        .select("v", "us")
+        sym.repartition(n_part, "v")
+        .groupBy("v")
+        .agg(F.collect_list("u").alias("all_us"))
+        .select("v", F.explode(_chunked("all_us")).alias("us"))
     )
 
 

@@ -102,6 +102,54 @@ def test_out_adjacency_contents(edges):
     assert rows[4] == ([1], 1.0)
 
 
+def test_chunked_splits_hub_arrays(spark, monkeypatch):
+    """Above ADJ_CHUNK the packed row must split into bounded slices
+    that together preserve the neighbor multiset (position-salted)."""
+    import importlib
+
+    pr_mod = importlib.import_module(
+        "distributed_graph_analytics_spark.operators.pagerank"
+    )
+    monkeypatch.setattr(pr_mod, "ADJ_CHUNK", 4)
+    hub_edges = spark.createDataFrame(
+        [(100, d, 1.0) for d in range(1, 12)] + [(2, 100, 1.0)],
+        "src long, dst long, weight double",
+    )
+    adj = pr_mod.build_out_adjacency(hub_edges, n_part=2)
+    rows = adj.collect()
+    hub_rows = [r for r in rows if r["src"] == 100]
+    assert sorted(len(r["dsts"]) for r in hub_rows) == [3, 4, 4]
+    assert sorted(d for r in hub_rows for d in r["dsts"]) == list(range(1, 12))
+    # inv_deg reflects the FULL degree on every chunk row
+    assert all(abs(r["inv_deg"] - 1.0 / 11) < 1e-12 for r in hub_rows)
+
+
+def test_pagerank_correct_with_split_hubs(spark, monkeypatch):
+    """PageRank ranks must be identical whether or not hub rows split."""
+    import importlib
+
+    pr_mod = importlib.import_module(
+        "distributed_graph_analytics_spark.operators.pagerank"
+    )
+    edges = spark.createDataFrame(
+        [(100, d, 1.0) for d in range(1, 12)]
+        + [(d, 100, 1.0) for d in range(1, 12)],
+        "src long, dst long, weight double",
+    )
+    baseline = {
+        r["id"]: r["rank"]
+        for r in pr_mod.pagerank(edges, max_iterations=5)[0].collect()
+    }
+    monkeypatch.setattr(pr_mod, "ADJ_CHUNK", 4)
+    split = {
+        r["id"]: r["rank"]
+        for r in pr_mod.pagerank(edges, max_iterations=5)[0].collect()
+    }
+    assert baseline.keys() == split.keys()
+    for k in baseline:
+        assert abs(baseline[k] - split[k]) < 1e-12, k
+
+
 def test_sym_adjacency_contents(edges):
     rows = {
         r["v"]: sorted(r["us"])

@@ -159,3 +159,49 @@ def test_sym_adjacency_contents(edges):
     assert rows[2] == [1, 3]
     assert rows[3] == [1, 2, 4]
     assert rows[4] == [1, 3]
+
+
+def test_full_superstep_single_exchange(spark):
+    """End-to-end superstep plan invariant: with the adjacency AND the
+    state both checkpointed under aqe_off carrying concrete hash
+    layouts, one PageRank superstep contains exactly ONE exchange — the
+    intrinsic message aggregation (explode -> groupBy id). The
+    adjacency-state join and the state-contribs join are co-partitioned."""
+    from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.range(1000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 31 + 3).alias("dst")
+    )
+    with aqe_off(spark):
+        adj = build_out_adjacency(edges, n_part).localCheckpoint(eager=True)
+        state = (
+            spark.range(100)
+            .select(F.col("id"), F.lit(0.01).alias("rank"))
+            .repartition(n_part, "id")
+            .localCheckpoint(eager=True)
+        )
+    n = 200_000  # force the shuffle_hash (non-broadcast) path
+    bstate = maybe_broadcast(state, n)
+    contribs = (
+        adj.join(bstate, adj["src"] == bstate["id"])
+        .select(
+            F.explode("dsts").alias("id"),
+            (F.col("rank") * F.col("inv_deg")).alias("c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("msg_sum"))
+    )
+    new_state = (
+        state.withColumnRenamed("rank", "old_rank")
+        .join(maybe_broadcast(contribs, n), "id", "left_outer")
+        .select("id", F.coalesce("msg_sum", F.lit(0.0)).alias("rank"))
+    )
+    with aqe_off(spark):
+        plan = _executed_plan(new_state)
+    exchanges = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges

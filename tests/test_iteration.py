@@ -66,3 +66,23 @@ def test_truncate_stats_do_not_compound(spark):
         )
         digits.append(len(str(stats)))
     assert max(digits) - min(digits) <= 1, digits
+
+
+def test_materialize_preserves_hash_partitioning(spark):
+    """The per-superstep state must keep its hash(id) layout through
+    materialize (persist + observe + project + aqe_off localCheckpoint)
+    so the NEXT superstep's joins need no exchange on the state side
+    (the whole-loop invariant is pinned in test_adjacency_plan.py)."""
+    df = (
+        spark.range(100)
+        .select("id", F.lit(1.0).alias("rank"), F.lit(2.0).alias("old"))
+        .repartition(4, "id")
+    )
+    out, _ = materialize(
+        df, metrics={"n": F.count(F.lit(1))}, project=["id", "rank"]
+    )
+    part = str(out._jdf.queryExecution().executedPlan().outputPartitioning())
+    assert "hashpartitioning(id#" in part, part
+    out2, _ = materialize(df)
+    part2 = str(out2._jdf.queryExecution().executedPlan().outputPartitioning())
+    assert "hashpartitioning(id#" in part2, part2

@@ -34,6 +34,7 @@ from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
     aqe_off,
+    hash_agg_pack,
     materialize,
 )
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
@@ -125,7 +126,9 @@ def pagerank(
     # keeps the concrete hash(src) partitioning (under AQE it would be
     # UnknownPartitioning and every superstep would re-shuffle the
     # arrays — see plans.iteration.aqe_off)
-    with aqe_off(spark):
+    # hash_agg_pack: keep the collect_list pack hash-based (the 128-key
+    # sort fallback default cost 3-4x of the build — see plans.iteration)
+    with aqe_off(spark), hash_agg_pack(spark):
         adj = adj.localCheckpoint(eager=True)
     # vertex set from the cheapest available sources: the checkpointed
     # adjacency's src column (already distinct-ish and hash(src)

@@ -31,6 +31,7 @@ from distributed_graph_analytics_spark.plans.iteration import (
     IterationController,
     IterationStats,
     aqe_off,
+    hash_agg_pack,
     materialize,
 )
 from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK, _chunked
@@ -94,7 +95,9 @@ def weakly_connected_components(
     nbrs = build_sym_adjacency(edges, n_part, edges_canonical=edges_canonical)
     # aqe_off: keep the concrete hash(v) partitioning in the LogicalRDD
     # (see plans.iteration.aqe_off and pagerank.py)
-    with aqe_off(spark):
+    # hash_agg_pack: keep the collect_list pack hash-based (the 128-key
+    # sort fallback default cost 3-4x of the build — see plans.iteration)
+    with aqe_off(spark), hash_agg_pack(spark):
         nbrs = nbrs.localCheckpoint(eager=True)
     # the symmetric table contains every vertex as a sender v, so the
     # vertex set falls out of the checkpointed 0.6M packed rows (already

@@ -53,6 +53,32 @@ def aqe_off(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+@contextmanager
+def hash_agg_pack(spark, threshold: int = 1 << 22):
+    """Keep ObjectHashAggregate hash-based for the CSR adjacency pack.
+
+    ``collect_list`` is a TypedImperativeAggregate, so it runs on
+    ObjectHashAggregateExec — which abandons its hash map for SORT-based
+    aggregation after ``spark.sql.objectHashAggregate.sortBased.
+    fallbackThreshold`` distinct keys, default 128. Any realistic
+    per-partition group count (|V|/p) blows past that, so every
+    adjacency pack was sorting 2|E|/p rows per partition: measured 3-4x
+    of the whole build at 38M edges / 4 cores (tools/_ab_build_probe.py:
+    PR 43-64s -> 15-25s, WCC 92-109s -> 21-38s). Raising the threshold
+    for just the pack action keeps it hash-based; the fallback still
+    guards pathological partitions beyond ``threshold`` groups. Memory
+    is bounded by the pack's own output (the per-key neighbor buffers
+    the task materializes anyway), so the raise adds no new worst case.
+    """
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(threshold))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def materialize(
     df: DataFrame,
     metrics: dict[str, Column] | None = None,

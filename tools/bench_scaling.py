@@ -65,11 +65,13 @@ def run_interleaved(
     host; min per leg is the noise-robust wall-clock estimator."""
     best: dict[int, dict] = {}
     runs: dict[int, list] = {n_small: [], n_big: []}
+    details: dict[int, list] = {n_small: [], n_big: []}
     for _ in range(repeats):
         for cpus in (n_small, n_big):
             r = run_once(cpus, sf_dir, replicate)
             total = round(r["pr_sec"] + r["wcc_sec"], 2)
             runs[cpus].append(total)
+            details[cpus].append(phase_split(r))
             prev = best.get(cpus)
             if prev is None or total < prev["pr_sec"] + prev["wcc_sec"]:
                 best[cpus] = r
@@ -80,7 +82,23 @@ def run_interleaved(
             )
     for cpus in (n_small, n_big):
         best[cpus]["all_runs_sec"] = runs[cpus]
+        best[cpus]["all_runs_phases"] = details[cpus]
     return best[n_small], best[n_big]
+
+
+PHASES = ("pr_build", "pr_steps", "wcc_build", "wcc_steps")
+
+
+def phase_split(r: dict) -> dict:
+    """Decompose one run into the four phases: one-time adjacency/vertex
+    builds (total minus the summed per-superstep seconds) and the
+    superstep loops themselves."""
+    return {
+        "pr_build": round(r["pr_sec"] - r["pr_iter_sec"], 2),
+        "pr_steps": r["pr_iter_sec"],
+        "wcc_build": round(r["wcc_sec"] - r["wcc_iter_sec"], 2),
+        "wcc_steps": r["wcc_iter_sec"],
+    }
 
 
 def main():
@@ -111,6 +129,7 @@ def main():
         "edges_per_sec_4n": round(res_big["edges"] / t_big),
         "efficiency": round(efficiency, 3),
         "pass": efficiency >= 0.8,
+        "efficiency_phase_min": _phase_min_eff(res_small, res_big),
         "pinned": os.environ.get("SPARK_GRAFT_PIN", "0") == "1",
         "detail": {"n": res_small, "4n": res_big},
     }
@@ -123,6 +142,14 @@ def main():
     )
     print(json.dumps(summary))
     return summary
+
+
+def _phase_min_eff(res_small: dict, res_big: dict) -> float:
+    ph_n = res_small.get("all_runs_phases") or [phase_split(res_small)]
+    ph_4n = res_big.get("all_runs_phases") or [phase_split(res_big)]
+    t_n = sum(min(r[p] for r in ph_n) for p in PHASES)
+    t_4n = sum(min(r[p] for r in ph_4n) for p in PHASES)
+    return round(t_n / (4.0 * t_4n), 3) if t_4n else float("nan")
 
 
 BEGIN_MARK = "<!-- SCALING_RESULTS_BEGIN (regenerated by tools/bench_scaling.py) -->"
@@ -176,9 +203,41 @@ one-time adjacency build + vertex materialization.)
 **Scaling efficiency = T_N / (4 * T_4N) = {s["efficiency"]}**
 (threshold 0.8: {"PASS" if s["pass"] else "FAIL"})
 
+{render_phase_analysis(s)}
+
 Raw JSON: `BENCH/scaling_result.json`. Regenerate with
 `python tools/bench_scaling.py` (env `SPARK_GRAFT_N`,
 `SPARK_GRAFT_REPLICATE`, `SPARK_GRAFT_REPEATS`)."""
+
+
+def render_phase_analysis(s: dict) -> str:
+    """Secondary estimators over ALL samples: per-phase minimum
+    composition (min of each phase across runs, summed per leg — a
+    tighter noise-robust estimator than min-total, since the host's
+    multi-minute noise windows rarely hit every phase of one run) and
+    per-phase efficiencies."""
+    d_n, d_4n = s["detail"]["n"], s["detail"]["4n"]
+    ph_n = d_n.get("all_runs_phases") or [phase_split(d_n)]
+    ph_4n = d_4n.get("all_runs_phases") or [phase_split(d_4n)]
+    min_n = {p: min(r[p] for r in ph_n) for p in PHASES}
+    min_4n = {p: min(r[p] for r in ph_4n) for p in PHASES}
+    t_n_star = sum(min_n.values())
+    t_4n_star = sum(min_4n.values())
+    eff_star = t_n_star / (4.0 * t_4n_star) if t_4n_star else float("nan")
+    lines = [
+        "Secondary estimators on the same samples:",
+        "",
+        "| phase | min T_N s | min T_4N s | phase efficiency |",
+        "|---|---|---|---|",
+    ]
+    for p in PHASES:
+        eff_p = min_n[p] / (4.0 * min_4n[p]) if min_4n[p] else float("nan")
+        lines.append(f"| {p} | {min_n[p]:.1f} | {min_4n[p]:.1f} | {eff_p:.2f} |")
+    lines.append(
+        f"| **phase-min composition** | {t_n_star:.1f} | {t_4n_star:.1f} "
+        f"| **{eff_star:.2f}** |"
+    )
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":

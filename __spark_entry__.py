@@ -955,11 +955,20 @@ GROUP BY 1, 2
         # and "pagerank_delta_push", and pinned by tests/test_pagerank.py
         # (allclose 1e-6 vs a pure-Python Giraph-semantics twin).
         "pagerank": _pagerank_unrolled_sql(16),
+        # "louvain_level0": same measured-halt equivalence — the level-0
+        # move loop's progress halt (min_progress=2000, counter=1) is
+        # data-dependent but deterministic; at sf0.01 it fires after
+        # cycle 4 (verified: the halt state equals fixed_cycles=4
+        # exactly, and diverges from 3/5/6), so the 4-cycle unroll is
+        # the oracle. This hard-checks the halt logic itself: a halt at
+        # the wrong cycle hash-mismatches. Valid at sf0.01 specifically;
+        # multi-level modularity is pinned by tests/test_louvain.py
+        # (reference golden Q=0.4134948...).
+        "louvain_level0": _louvain_fixed_cycles_sql(4),
         # No SQL oracle (driver records rows-only) for:
-        # - "louvain_level0" / "neighboring_communities": multi-level
-        #   with data-dependent progress halts; pinned by
-        #   tests/test_louvain.py (reference golden Q=0.4134948...) —
-        #   the move kernel is hard-oracled via "louvain_move_fixed4".
+        # - "neighboring_communities": composes WCC x multi-level
+        #   Louvain (data-dependent level count); both kernels are
+        #   hard-oracled separately ("wcc", "louvain_move_fixed4").
     }
 
 

@@ -86,3 +86,32 @@ def test_materialize_preserves_hash_partitioning(spark):
     out2, _ = materialize(df)
     part2 = str(out2._jdf.queryExecution().executedPlan().outputPartitioning())
     assert "hashpartitioning(id#" in part2, part2
+
+
+def test_hash_agg_pack_sets_and_restores_threshold(spark):
+    from distributed_graph_analytics_spark.plans.iteration import hash_agg_pack
+
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    before = spark.conf.get(key)
+    with hash_agg_pack(spark, threshold=123_456):
+        assert spark.conf.get(key) == "123456"
+        # a collect_list pack under the raised threshold stays correct
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+        )
+        packed = df.groupBy("k").agg(F.collect_list("v").alias("vs"))
+        rows = {r.k: sorted(r.vs) for r in packed.collect()}
+        assert len(rows) == 100
+        assert rows[0] == list(range(0, 1000, 100))
+    assert spark.conf.get(key) == before
+
+
+def test_hash_agg_pack_restores_on_error(spark):
+    from distributed_graph_analytics_spark.plans.iteration import hash_agg_pack
+
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    before = spark.conf.get(key)
+    with pytest.raises(RuntimeError):
+        with hash_agg_pack(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before

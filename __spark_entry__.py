@@ -66,6 +66,9 @@ from distributed_graph_analytics_spark.functions.similarity import (  # noqa: E4
 from distributed_graph_analytics_spark.sources.edges import (  # noqa: E402
     reverse_duplicate,
 )
+from distributed_graph_analytics_spark.streaming.events import (  # noqa: E402
+    batch_edge_counts,
+)
 from distributed_graph_analytics_spark.sources.repo_table import (  # noqa: E402
     EDGE_BUILD_ORACLE_SQL,
     edges_from_repo_table,
@@ -387,6 +390,35 @@ st0 AS MATERIALIZED (
     )
 
 
+def _louvain_q0_sql(cycles: int) -> str:
+    """Level-0 modularity of the fixed-cycle move state: the actual-Q
+    pass louvain_level() runs after its loop (LouvainCore.scala:253-267
+    semantics at level 0, internal weights all zero) — w_own is each
+    vertex's weight into its own community, q_i clips at 0, and the
+    scalar sum is rounded to 6 decimals on both sides to absorb
+    summation-order noise."""
+    body = _louvain_fixed_cycles_sql(cycles)
+    body = body[: body.rindex("\nSELECT id, community FROM")]
+    return (
+        body
+        + f""",
+wown AS MATERIALIZED (
+  SELECT t.u AS id, CAST(SUM(t.w) AS BIGINT) AS w_own
+  FROM symm t
+  JOIN st{cycles} su ON su.id = t.u
+  JOIN st{cycles} sv ON sv.id = t.v
+  WHERE su.community = sv.community
+  GROUP BY t.u
+)
+SELECT round(SUM(GREATEST(
+         CAST(coalesce(w.w_own, 0) AS DOUBLE) / mt.m
+         - CAST(s.sigma_tot * s.node_w AS DOUBLE)
+           / (CAST(mt.m AS DOUBLE) * CAST(mt.m AS DOUBLE)),
+       0.0)), 6) AS q0
+FROM st{cycles} s LEFT JOIN wown w ON w.id = s.id, mt"""
+    )
+
+
 def _hbse_unrolled_sql(
     sssp_rounds: int, dep_rounds: int, n_pivots: int, seed: int = 42
 ) -> str:
@@ -700,6 +732,17 @@ def _q_louvain_move_fixed4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("id", "community")
 
 
+def _q_louvain_q0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # modularity of the 4-cycle level-0 move state — the north star's
+    # "Louvain modularity within tolerance" as a hard-oracled scalar
+    # (the oracle recomputes actual-Q from its own unrolled state).
+    # Per-vertex q_i terms are bit-identical across engines (exact
+    # integer products under 2^53 cast to double); only the scalar
+    # summation order differs, absorbed by round(6) on both sides.
+    q, _state, _cycles = louvain_level(load_edges(spark, sf_dir), fixed_cycles=4)
+    return spark.createDataFrame([(round(q, 6),)], "q0 double")
+
+
 def _q_hbse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Brandes on a deterministic 64-pivot batch (budget-capped
     # approximation, the reference's sampling mode); sha2 pivot
@@ -832,6 +875,21 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of streaming.events.streaming_edge_counts (hour
+    # windows): hard-oracles the pair-explosion edge accumulator the
+    # streaming path shares. window_start formatted as a string for
+    # the same cross-engine timestamp-precision reason as events_rollup
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch_edge_counts(ev, window="1 hour").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "src",
+        "dst",
+        "weight",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank to convergence on the sf0.001 co-occurrence graph."""
     return _q_pagerank_converged(spark, "/root/testdata/sf0.001")
@@ -852,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "louvain_level0": _q_louvain_level0,
         "louvain_move_fixed4": _q_louvain_move_fixed4,
+        "louvain_q0": _q_louvain_q0,
         "hbse": _q_hbse,
         "neighboring_communities": _q_neighboring_communities,
         "doc_stats": _q_doc_stats,
@@ -864,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_rollup": _q_events_rollup,
+        "events_edges": _q_events_edges,
     }
 
 
@@ -927,6 +987,7 @@ HAVING COUNT(*) > 1
             k=8, threshold=0.8, lsh=(5, 16, 8)
         ),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
+        "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),
         "label_propagation": _lpa_unrolled_sql(_LPA_ROUNDS),
         "doc_stats": _DOC_STATS_ORACLE_SQL,
@@ -943,6 +1004,15 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
+""",
+        "events_edges": """
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT date_trunc('hour', ts) AS w, event_type, user_id FROM events
+)
+SELECT strftime(a.w, '%Y-%m-%d %H:%M:%S') AS window_start, a.event_type,
+       a.user_id AS src, b.user_id AS dst, CAST(1 AS BIGINT) AS weight
+FROM du a JOIN du b ON a.w = b.w AND a.event_type = b.event_type
+WHERE a.user_id < b.user_id
 """,
         # "pagerank" (to convergence): the iteration count is
         # data-dependent but DETERMINISTIC for a fixed input — at the

@@ -71,6 +71,47 @@ def streaming_event_rollup(
     )
 
 
+def batch_edge_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of streaming_edge_counts: the same per-(window,
+    event_type) user co-occurrence pairs, computed over a bounded
+    table. Rows equal the union of the streaming accumulator's
+    finalized-window emissions (weight-1 deltas, src < dst).
+
+    Plan shape for scale: distinct on (window, event_type, user) is a
+    partial-aggregated shuffle on the group key, and the pair
+    explosion is a self-join co-partitioned on that same key — both
+    legs arrive hash-partitioned on (window_start, event_type), so the
+    join itself adds no exchange, and AQE's skew split covers hot
+    windows. No collect_set row-width ceiling on the batch path."""
+    trunc = {"1 hour": "hour", "1 minute": "minute", "1 day": "day"}.get(window)
+    if trunc is None:
+        raise ValueError(
+            f"batch_edge_counts supports calendar-aligned windows "
+            f"('1 hour'/'1 minute'/'1 day'), got {window!r}"
+        )
+    du = (
+        _instant_ts(events)
+        .select(
+            F.date_trunc(trunc, "ts").alias("window_start"),
+            "event_type",
+            "user_id",
+        )
+        .distinct()
+    )
+    a, b = du.alias("a"), du.alias("b")
+    return (
+        a.join(b, ["window_start", "event_type"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            "window_start",
+            "event_type",
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+            F.lit(1).cast("long").alias("weight"),
+        )
+    )
+
+
 def streaming_edge_counts(
     events: DataFrame,
     watermark: str = "2 hours",

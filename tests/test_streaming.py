@@ -71,3 +71,51 @@ def test_streaming_edge_counts_runs(spark, tmp_path):
     assert len(rows) > 0
     assert all(r["src"] < r["dst"] for r in rows)
     assert all(r["weight"] >= 1 for r in rows)
+
+
+def test_batch_edge_counts_matches_streaming(spark, tmp_path):
+    # the batch twin must emit exactly the streaming accumulator's
+    # finalized-window rows (same pairs, same windows); restrict the
+    # comparison to windows the 1-hour watermark finalized
+    from distributed_graph_analytics_spark.streaming.events import (
+        batch_edge_counts,
+    )
+
+    events = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    edges = streaming_edge_counts(events, watermark="1 hour")
+    q = (
+        edges.writeStream.format("memory")
+        .queryName("sedges_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"], r["src"], r["dst"], r["weight"])
+        for r in spark.sql("select * from sedges_twin").collect()
+    }
+    finalized = {w for (w, _t, _s, _d, _w) in got}
+    batch = batch_edge_counts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), window="1 hour"
+    ).collect()
+    want = {
+        (r["window_start"], r["event_type"], r["src"], r["dst"], r["weight"])
+        for r in batch
+        if r["window_start"] in finalized
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_batch_edge_counts_rejects_unaligned_window(spark):
+    import pytest as _pytest
+
+    from distributed_graph_analytics_spark.streaming.events import (
+        batch_edge_counts,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    with _pytest.raises(ValueError, match="calendar-aligned"):
+        batch_edge_counts(ev, window="90 minutes")

@@ -419,6 +419,194 @@ FROM st{cycles} s LEFT JOIN wown w ON w.id = s.id, mt"""
     )
 
 
+def _louvain_multilevel_ctes(cycles_per_level: list[int]) -> str:
+    """CTE chain for the FULL multi-level Louvain (move cycles with
+    per-vertex internal weights + compressGraph between levels),
+    unrolled to measured per-level cycle counts. Ends with mapping CTEs
+    ``map{L}`` (original id -> level-L folded community); the caller
+    selects from ``map{last}``.
+
+    Level structure per _louvain_level_with_internal: node weights from
+    the level's merged edges, internal weights carried in via a full
+    outer join (isolated communities stay as vertices), m = Σ(node_w +
+    internal_w), and the same m-scaled-integer ΔQ argmax as
+    _louvain_fixed_cycles_sql generalized to internal_w ≠ 0.
+    Compression per louvain(): intra-community weight ×2 + member
+    internal sums -> next internal; inter-community edges re-keyed
+    (least, greatest) and summed -> next edges."""
+    ctes = []
+    for lv, n_cycles in enumerate(cycles_per_level):
+        if lv == 0:
+            edges_src = "SELECT src, dst, CAST(weight AS BIGINT) AS w FROM edges"
+            base = f"""base{lv} AS MATERIALIZED (
+  SELECT u AS id, CAST(0 AS BIGINT) AS internal_w,
+         CAST(SUM(w) AS BIGINT) AS node_w
+  FROM symm{lv} GROUP BY u
+)"""
+        else:
+            edges_src = f"SELECT src, dst, w FROM e{lv}"
+            base = f"""nw{lv} AS MATERIALIZED (
+  SELECT u AS id, CAST(SUM(w) AS BIGINT) AS node_w FROM symm{lv} GROUP BY u
+), base{lv} AS MATERIALIZED (
+  SELECT coalesce(n.id, i.id) AS id,
+         CAST(coalesce(i.internal_w, 0) AS BIGINT) AS internal_w,
+         CAST(coalesce(n.node_w, 0) AS BIGINT) AS node_w
+  FROM nw{lv} n FULL OUTER JOIN in{lv} i ON i.id = n.id
+)"""
+        ctes.append(
+            f"""em{lv} AS MATERIALIZED (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w
+  FROM ({edges_src}) GROUP BY src, dst
+), symm{lv} AS MATERIALIZED (
+  SELECT src AS u, dst AS v, w FROM em{lv}
+  UNION ALL SELECT dst, src, w FROM em{lv}
+), {base},
+mt{lv} AS (SELECT CAST(SUM(internal_w + node_w) AS BIGINT) AS m FROM base{lv}),
+s{lv}_0 AS MATERIALIZED (
+  SELECT id, id AS community, internal_w + node_w AS sigma_tot,
+         internal_w, node_w
+  FROM base{lv}
+)"""
+        )
+        for k in range(1, n_cycles + 1):
+            even = k % 2 == 1
+            gate = (
+                "s.community > b.best_comm" if even else "s.community < b.best_comm"
+            )
+            p = k - 1
+            ctes.append(
+                f"""msgs{lv}_{k} AS MATERIALIZED (
+  SELECT t.u AS id, s.community AS comm, s.sigma_tot AS comm_sigma,
+         CAST(SUM(t.w) AS BIGINT) AS w_to_comm
+  FROM symm{lv} t JOIN s{lv}_{p} s ON s.id = t.v
+  GROUP BY 1, 2, 3
+), best{lv}_{k} AS MATERIALIZED (
+  SELECT id, comm AS best_comm FROM (
+    SELECT c.id, c.comm,
+           row_number() OVER (PARTITION BY c.id
+                              ORDER BY c.dq DESC, c.comm DESC) AS rn
+    FROM (
+      SELECT m.id, m.comm,
+             CASE WHEN m.comm = s.community
+                       AND (m.comm_sigma - (s.node_w + s.internal_w)) = 0
+                  THEN CAST(0 AS HUGEINT)
+                  ELSE CAST(CASE WHEN m.comm = s.community
+                                 THEN m.w_to_comm + s.internal_w
+                                 ELSE m.w_to_comm END AS HUGEINT) * mt.m
+                       - CAST(s.node_w + s.internal_w AS HUGEINT)
+                         * (CASE WHEN m.comm = s.community
+                                 THEN m.comm_sigma - (s.node_w + s.internal_w)
+                                 ELSE m.comm_sigma END)
+             END AS dq
+      FROM msgs{lv}_{k} m JOIN s{lv}_{p} s ON s.id = m.id, mt{lv} mt
+    ) c WHERE c.dq > 0
+  ) WHERE rn = 1
+), mv{lv}_{k} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN b.best_comm IS NOT NULL AND b.best_comm != s.community
+                   AND ({gate})
+              THEN b.best_comm ELSE s.community END AS community,
+         s.internal_w, s.node_w
+  FROM s{lv}_{p} s LEFT JOIN best{lv}_{k} b ON b.id = s.id
+), s{lv}_{k} AS MATERIALIZED (
+  SELECT mv.id, mv.community, sg.sigma_tot, mv.internal_w, mv.node_w
+  FROM mv{lv}_{k} mv
+  JOIN (SELECT community,
+               CAST(SUM(node_w + internal_w) AS BIGINT) AS sigma_tot
+        FROM mv{lv}_{k} GROUP BY community) sg
+    ON sg.community = mv.community
+)"""
+            )
+        last = f"s{lv}_{n_cycles}"
+        if lv == 0:
+            ctes.append(f"map0 AS MATERIALIZED (SELECT id, community FROM {last})")
+        else:
+            ctes.append(
+                f"""map{lv} AS MATERIALIZED (
+  SELECT m.id, s.community
+  FROM map{lv - 1} m JOIN {last} s ON s.id = m.community
+)"""
+            )
+        if lv + 1 < len(cycles_per_level):
+            # ---- compressGraph between level lv and lv+1 ----
+            ctes.append(
+                f"""tr{lv} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, cs.community AS src_comm, cd.community AS dst_comm
+  FROM em{lv} e
+  JOIN {last} cs ON cs.id = e.src
+  JOIN {last} cd ON cd.id = e.dst
+), in{lv + 1} AS MATERIALIZED (
+  SELECT mem.community AS id,
+         mem.w_members + coalesce(ie.w_self, 0) AS internal_w
+  FROM (SELECT community, CAST(SUM(internal_w) AS BIGINT) AS w_members
+        FROM {last} GROUP BY community) mem
+  LEFT JOIN (SELECT src_comm AS community, CAST(2 * SUM(w) AS BIGINT) AS w_self
+             FROM tr{lv} WHERE src_comm = dst_comm GROUP BY src_comm) ie
+    ON ie.community = mem.community
+), e{lv + 1} AS MATERIALIZED (
+  SELECT least(src_comm, dst_comm) AS src,
+         greatest(src_comm, dst_comm) AS dst,
+         CAST(SUM(w) AS BIGINT) AS w
+  FROM tr{lv} WHERE src_comm != dst_comm GROUP BY 1, 2
+)"""
+            )
+    return ",\n".join(ctes)
+
+
+#: measured per-level move-cycle counts of louvain() at sf0.01 (the
+#: driver's grading scale): the progress halt with min_progress=2000 on
+#: a ≤2000-vertex graph is structurally forced to count=4 when any
+#: vertex moves in the first even/odd pair and count=2 when none does
+#: (threshold `pair2 >= pair1 - 2000` is always true, so stop hits
+#: progress_counter+1 at the end of pair 2). Measured trajectory:
+#: levels 0-3 move (q 0.0547 -> 0.0608 -> 0.0623, each delta > the
+#: 0.001 outer-loop bar), level 4 is a verified no-op (its q equals
+#: level 3's bit-for-bit and its 2 cycles move nothing), after which
+#: the outer loop stops. Valid at sf0.01 specifically, like the
+#: "pagerank"/"louvain_level0" measured-determinism oracles.
+_LOUVAIN_LEVEL_CYCLES_SF001 = [4, 4, 4, 4, 2]
+
+
+def _neighboring_communities_sql(
+    cycles_per_level: list[int], wcc_rounds: int
+) -> str:
+    """WCC ⋈ multi-level Louvain composition oracle
+    (AbstractNeighboringCommunityRunner semantics): per original edge,
+    both endpoints' folded final communities, the max-label component,
+    and the cross-community flag."""
+    wcc_ctes = ["l0 AS (SELECT id, id AS comp FROM vertices)"]
+    for k in range(1, wcc_rounds + 1):
+        wcc_ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT v.id,
+         greatest(v.comp, coalesce(m.cand, v.comp)) AS comp
+  FROM l{k - 1} v
+  LEFT JOIN (
+      SELECT e.u AS id, max(l.comp) AS cand
+      FROM sym e JOIN l{k - 1} l ON l.id = e.v
+      GROUP BY e.u
+  ) m ON m.id = v.id
+)"""
+        )
+    last_map = f"map{len(cycles_per_level) - 1}"
+    return (
+        _EDGES_CTE
+        + ", "
+        + _louvain_multilevel_ctes(cycles_per_level)
+        + ",\n"
+        + ",\n".join(wcc_ctes)
+        + f"""
+SELECT e.src, ms.community AS src_community,
+       e.dst, md.community AS dst_community,
+       c.comp AS component,
+       ms.community != md.community AS cross_community
+FROM edges e
+JOIN {last_map} ms ON ms.id = e.src
+JOIN {last_map} md ON md.id = e.dst
+JOIN l{wcc_rounds} c ON c.id = e.src"""
+    )
+
+
 def _hbse_unrolled_sql(
     sssp_rounds: int, dep_rounds: int, n_pivots: int, seed: int = 42
 ) -> str:
@@ -1035,10 +1223,16 @@ WHERE a.user_id < b.user_id
         # multi-level modularity is pinned by tests/test_louvain.py
         # (reference golden Q=0.4134948...).
         "louvain_level0": _louvain_fixed_cycles_sql(4),
-        # No SQL oracle (driver records rows-only) for:
-        # - "neighboring_communities": composes WCC x multi-level
-        #   Louvain (data-dependent level count); both kernels are
-        #   hard-oracled separately ("wcc", "louvain_move_fixed4").
+        # "neighboring_communities": WCC x multi-level Louvain, both
+        # unrolled — the Louvain side to the measured per-level cycle
+        # counts (see _LOUVAIN_LEVEL_CYCLES_SF001: structurally forced
+        # by the progress halt at this vertex count; valid at sf0.01
+        # specifically, like "pagerank"/"louvain_level0"). This was the
+        # last rows-only query: every queries() entry now carries a
+        # hard DuckDB oracle.
+        "neighboring_communities": _neighboring_communities_sql(
+            _LOUVAIN_LEVEL_CYCLES_SF001, _WCC_ROUNDS
+        ),
     }
 
 

@@ -61,6 +61,7 @@ from distributed_graph_analytics_spark.functions.dedup import (  # noqa: E402
 from distributed_graph_analytics_spark.functions.similarity import (  # noqa: E402
     brute_force_cosine_topk,
     embedding_near_duplicates,
+    ivf_cosine_topk,
     lsh_bucketed_cosine_topk,
 )
 from distributed_graph_analytics_spark.sources.edges import (  # noqa: E402
@@ -1022,6 +1023,18 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(
+        vecs, qs, k=5, num_centroids=16, nprobe=4, hash_family="sha2"
+    ).select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no natural pairs reach cosine 0.9 (measured max 0.513 at sf0.01),
     # so the query self-seeds identical copies of vec_id < 10 — the
@@ -1109,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_rollup": _q_events_rollup,
         "events_edges": _q_events_edges,
@@ -1183,6 +1197,9 @@ HAVING COUNT(*) > 1
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
         "ann_cosine_topk": _ann_topk_oracle_sql(k=5, n_queries=5),
         "ann_lsh_topk": _ann_lsh_oracle_sql(k=5, n_queries=5, num_planes=4),
+        "ann_ivf_topk": _ann_ivf_oracle_sql(
+            k=5, n_queries=5, num_centroids=16, nprobe=4
+        ),
         "embedding_near_dup": _near_dup_oracle_sql(threshold=0.9, num_planes=4),
         "events_rollup": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1360,6 +1377,61 @@ def _hyperplane_bucket_ctes(num_planes: int, seed: int = 42) -> str:
     SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
     FROM proj GROUP BY vec_id
 )"""
+
+
+def _ann_ivf_oracle_sql(
+    k: int, n_queries: int, num_centroids: int, nprobe: int, seed: int = 42
+) -> str:
+    """DuckDB twin of ivf_cosine_topk (sha2 centroid sample, cosine
+    rounded to 6 before the argmax cell assignment / probe ranking,
+    exact re-rank within probed cells)."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    a_cos = cos.format(a="v.emb", b="c.c_emb")
+    p_cos = cos.format(a="q.q_emb", b="c.c_emb")
+    r_cos = cos.format(a="q.q_emb", b="v.emb")
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < {n_queries}
+), cent AS MATERIALIZED (
+    SELECT vec_id AS cid, emb AS c_emb FROM v
+    ORDER BY {_sha60(f"concat(vec_id, ':', {seed})")}
+    LIMIT {num_centroids}
+), assign AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({a_cos}, 6) DESC,
+                                           c.cid DESC) AS rn
+        FROM v CROSS JOIN cent c
+    ) WHERE rn = 1
+), probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({p_cos}, 6) DESC,
+                                           c.cid DESC) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {nprobe}
+), scored AS (
+    SELECT q.query_id, v.vec_id, {r_cos} AS cos_raw
+    FROM probes p
+    JOIN assign a ON a.cid = p.cid
+    JOIN q ON q.query_id = p.query_id
+    JOIN v ON v.vec_id = a.vec_id
+), ranked AS (
+    SELECT query_id, vec_id, cos_raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, vec_id DESC) AS rank
+    FROM scored
+)
+SELECT query_id, rank, vec_id, round(round(cos_raw, 9), 6) AS cos
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _ann_lsh_oracle_sql(k: int, n_queries: int, num_planes: int) -> str:

@@ -204,6 +204,79 @@ def lsh_bucketed_cosine_topk(
     return _window_topk(scored, k)
 
 
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``num_centroids`` cells (centroids = a deterministic hash-ordered
+    sample of corpus vectors, assignment = argmax cosine), probe each
+    query's ``nprobe`` nearest cells, exact cosine re-rank within the
+    probed cells only.
+
+    Scale path vs the LSH variant: the centroid table is tiny and
+    broadcast; assignment is one corpus scan (broadcast nested loop, C
+    cosines per row, all JVM-side); the candidate join moves narrow
+    (cell, id) rows hash-partitioned on the cell id; the re-rank
+    touches ~nprobe/num_centroids of the corpus per query. Cells
+    PARTITION the corpus (assignment is unique per vector), so
+    candidates need no dedup pass. Raise nprobe for recall, raise
+    num_centroids to shrink cells — standard IVF tuning.
+
+    Assignment/probe cosines are rounded to 6 decimals before the
+    argmax so cross-engine float summation noise cannot flip a cell
+    choice (the same device hyperplane_buckets uses before its sign
+    test); ties break toward the larger centroid id. hash_family
+    "sha2" reproduces the centroid sample in the DuckDB oracle.
+    """
+    from distributed_graph_analytics_spark.functions.dedup import _hash64
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cent = F.broadcast(
+        v.orderBy(_hash64(F.col("vec_id"), F.lit(seed), family=hash_family))
+        .limit(num_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v_vec").alias("c_vec"))
+    )
+    c_cos = F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6)
+    assign = (
+        v.crossJoin(cent)
+        .select("vec_id", F.struct(c_cos.alias("cos"), F.col("cid")).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").getField("cid").alias("cid"))
+    )
+    q_cos = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.desc("cid"))
+    probes = (
+        q.crossJoin(cent)
+        .select("query_id", "cid", q_cos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    cand = probes.join(assign, "cid").select("query_id", "vec_id")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("q_vec"), F.col("v_vec")).alias("cos"),
+        )
+    )
+    return _window_topk(scored, k)
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -3,6 +3,7 @@ import numpy as np
 from distributed_graph_analytics_spark.functions.similarity import (
     brute_force_cosine_topk,
     embedding_near_duplicates,
+    ivf_cosine_topk,
     lsh_bucketed_cosine_topk,
 )
 
@@ -49,6 +50,45 @@ def test_embedding_near_duplicates_threshold(spark):
     # threshold honored and pairs canonical
     assert (out["cos"] >= 0.99).all()
     assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_ivf_topk_self_recall_and_exact_within_cells(spark):
+    v = vectors(spark)
+    queries = v.limit(5).selectExpr("vec_id as query_id", "embedding")
+    got = ivf_cosine_topk(v, queries, k=5, num_centroids=8, nprobe=2).toPandas()
+    # a query's own cell is its nearest cell → probed → self at rank 1
+    top1 = got[got["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+    np.testing.assert_allclose(top1["cos"].to_numpy(), 1.0, rtol=1e-6)
+    # re-rank inside probed cells is exact: every returned cos matches
+    # the true cosine of that (query, vec) pair
+    pdf = v.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    for r in got.itertuples():
+        qvec = mat[ids == r.query_id][0]
+        dvec = mat[ids == r.vec_id][0]
+        want = qvec @ dvec / (np.linalg.norm(qvec) * np.linalg.norm(dvec))
+        np.testing.assert_allclose(r.cos, want, rtol=1e-6)
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    v = vectors(spark)
+    queries = v.limit(5).selectExpr("vec_id as query_id", "embedding")
+    exact = brute_force_cosine_topk(v, queries, k=5).toPandas()
+    want = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+
+    def recall(nprobe):
+        got = ivf_cosine_topk(
+            v, queries, k=5, num_centroids=8, nprobe=nprobe
+        ).toPandas()
+        hits = {(r.query_id, r.vec_id) for r in got.itertuples()} & want
+        return len(hits) / len(want)
+
+    r1, r8 = recall(1), recall(8)
+    # nprobe = num_centroids probes every cell → exact top-k
+    assert r8 == 1.0
+    assert r1 <= r8
 
 
 def test_lsh_multi_table_recall_monotone(spark):

@@ -8,8 +8,9 @@ Four families, all shuffle-architected for 100 TB:
   candidate pairs via a bucket self-join. The join key is
   (band, band_hash), so hot buckets are bounded by banding; the giant
   all-pairs comparison never materializes;
-- SimHash: 64-bit bitwise-majority signature per doc (explode tokens →
-  unpack bits → groupBy doc, one aggregate over 64 sum columns);
+- SimHash: 64-bit-class bitwise-majority signature per doc (63 data
+  bits, sign bit clear; explode tokens → unpack bits → groupBy doc,
+  one aggregate over the per-bit sum columns);
 - n-gram Jaccard: candidate pairs (from LSH or exact-band buckets) are
   verified by exact shingle-set Jaccard — a join + two aggregates.
 

@@ -1091,6 +1091,29 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_US = 12 * 3600 * 1_000_000  # events_sessions gap, Spark + oracle
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inactivity-gap sessionization (streaming.sessions.batch_sessionize,
+    # the native session_window path; the pandas-kernel twin and both
+    # streaming variants are pinned equal in tests/test_sessions.py).
+    # Timestamps as epoch microseconds: integral, so the driver hash is
+    # precision-safe; sum_value rounded to 6 like events_rollup.
+    from distributed_graph_analytics_spark.streaming.sessions import (
+        batch_sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch_sessionize(ev, gap="12 hours").select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank to convergence on the sf0.001 co-occurrence graph."""
     return _q_pagerank_converged(spark, "/root/testdata/sf0.001")
@@ -1126,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_rollup": _q_events_rollup,
         "events_edges": _q_events_edges,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -1218,6 +1242,30 @@ SELECT strftime(a.w, '%Y-%m-%d %H:%M:%S') AS window_start, a.event_type,
        a.user_id AS src, b.user_id AS dst, CAST(1 AS BIGINT) AS weight
 FROM du a JOIN du b ON a.w = b.w AND a.event_type = b.event_type
 WHERE a.user_id < b.user_id
+""",
+        # sessionization twin: lag/cumsum formulation of session_window
+        # semantics (same session iff ts - prev < gap, strict;
+        # session_end = last_ts + gap, exclusive)
+        "events_sessions": f"""
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
 """,
         # "pagerank" (to convergence): the iteration count is
         # data-dependent but DETERMINISTIC for a fixed input — at the

@@ -1092,6 +1092,7 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GAP_US = 12 * 3600 * 1_000_000  # events_sessions gap, Spark + oracle
+_MAXD_US = 86400 * 1_000_000  # events_sessions_capped max_duration
 
 
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,6 +1107,26 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return batch_sessionize(ev, gap="12 hours").select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def _q_events_sessions_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max-duration-capped sessionization — the pandas fold kernel via
+    # applyInPandas (session_window can't express the cap; the oracle
+    # is a recursive-CTE walk over per-user event sequences)
+    from distributed_graph_analytics_spark.streaming.sessions import (
+        batch_sessionize_custom,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return batch_sessionize_custom(
+        ev, gap="12 hours", max_duration="1 day"
+    ).select(
         "user_id",
         "session_start_us",
         "session_end_us",
@@ -1150,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "events_edges": _q_events_edges,
         "events_sessions": _q_events_sessions,
+        "events_sessions_capped": _q_events_sessions_capped,
     }
 
 
@@ -1266,6 +1288,34 @@ SELECT user_id,
        COUNT(*) AS n_events,
        round(SUM(value), 6) AS sum_value
 FROM sess GROUP BY user_id, sid
+""",
+        # capped-session twin: the cap anchors each decision to the
+        # session's own start — a data-dependent recursion no plain
+        # window expresses, so the oracle walks per-user event
+        # sequences with a recursive CTE (depth = max events/user).
+        # An event joins iff ts-prev < gap AND ts-session_start < maxd,
+        # exactly streaming.sessions._fold_sessions.
+        "events_sessions_capped": f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn, value, t, t AS sess_start
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.value, e.t,
+         CASE WHEN e.t - w.t < {_GAP_US}
+                   AND e.t - w.sess_start < {_MAXD_US}
+              THEN w.sess_start ELSE e.t END AS sess_start
+  FROM e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id,
+       sess_start AS session_start_us,
+       MAX(t) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM walk GROUP BY user_id, sess_start
 """,
         # "pagerank" (to convergence): the iteration count is
         # data-dependent but DETERMINISTIC for a fixed input — at the

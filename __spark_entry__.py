@@ -1091,6 +1091,81 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end corpus-cleaning pipeline (functions/pipeline.py):
+    # language/quality gate -> exact dedup -> LSH+Jaccard near-dup
+    # suppression, reported as a per-doc disposition so each stage's
+    # work is observable. Exact dups don't occur naturally in the
+    # testdata, so the query self-seeds shifted copies of doc_id < 50
+    # (copies of gate-passing docs land exact_dup, the rest filtered);
+    # near-dup pairs occur naturally (17 survive the gate at sf0.01).
+    from distributed_graph_analytics_spark.functions.pipeline import (
+        corpus_disposition,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seeded = docs.unionByName(
+        docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text"
+        )
+    )
+    return corpus_disposition(seeded, hash_family="sha2")
+
+
+def _corpus_clean_oracle_sql(
+    quality_min: float = 0.6,
+    seed_below: int = 50,
+    seed_shift: int = 2_000_000,
+) -> str:
+    """DuckDB twin of _q_corpus_clean: the doc_stats twin over the
+    seeded docs, the gate, exact-dedup keepers on the normalized
+    sha256, and the ngram-jaccard twin (sha2 LSH candidates) over the
+    exact survivors; dispositions assembled exactly as
+    functions.pipeline.corpus_disposition."""
+    stats_sql = _DOC_STATS_ORACLE_SQL.replace("FROM documents", "FROM seeded_docs")
+    pairs_sql = _ngram_jaccard_oracle_sql(
+        k=8, threshold=0.8, lsh=(5, 16, 8), src="clean_src"
+    )
+    return f"""
+WITH seeded_docs AS MATERIALIZED (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {seed_shift}, text FROM documents WHERE doc_id < {seed_below}
+), stats AS MATERIALIZED ({stats_sql}
+), base AS MATERIALIZED (
+    SELECT d.doc_id, d.text, s.quality, s.lang_guess
+    FROM seeded_docs d JOIN stats s USING (doc_id)
+), passed AS MATERIALIZED (
+    SELECT * FROM base WHERE lang_guess = 'en' AND quality >= {quality_min}
+), hashed AS MATERIALIZED (
+    SELECT *, sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS sha
+    FROM passed
+), keepers AS MATERIALIZED (
+    SELECT sha, MIN(doc_id) AS keep_id FROM hashed GROUP BY sha
+), clean_src AS MATERIALIZED (
+    SELECT h.doc_id, h.text
+    FROM hashed h JOIN keepers k ON h.sha = k.sha
+    WHERE h.doc_id = k.keep_id
+), pairs AS MATERIALIZED ({pairs_sql}
+), near AS (
+    SELECT DISTINCT doc_b AS doc_id FROM pairs
+)
+SELECT h.doc_id,
+       CASE WHEN h.doc_id <> k.keep_id THEN 'exact_dup'
+            WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       h.quality, h.lang_guess
+FROM hashed h
+JOIN keepers k ON h.sha = k.sha
+LEFT JOIN near ON near.doc_id = h.doc_id
+UNION ALL
+SELECT doc_id, 'filtered' AS status, quality, lang_guess
+FROM base WHERE NOT (lang_guess = 'en' AND quality >= {quality_min})
+"""
+
+
 _GAP_US = 12 * 3600 * 1_000_000  # events_sessions gap, Spark + oracle
 _MAXD_US = 86400 * 1_000_000  # events_sessions_capped max_duration
 
@@ -1172,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_edges": _q_events_edges,
         "events_sessions": _q_events_sessions,
         "events_sessions_capped": _q_events_sessions_capped,
+        "corpus_clean": _q_corpus_clean,
     }
 
 
@@ -1234,6 +1310,7 @@ HAVING COUNT(*) > 1
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(
             k=8, threshold=0.8, lsh=(5, 16, 8)
         ),
+        "corpus_clean": _corpus_clean_oracle_sql(),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),
@@ -1590,11 +1667,14 @@ def _ngram_jaccard_oracle_sql(
     k: int,
     threshold: float,
     lsh: tuple[int, int, int] | None = None,
+    src: str = "documents",
 ) -> str:
     """DuckDB twin of functions.dedup.ngram_jaccard_pairs: k-word
     shingles of whitespace-normalized lowercased text. With ``lsh`` =
     (mh_k, num_hashes, bands), pairs are restricted to the sha2-family
-    MinHash-LSH candidate set (the entry query's scale path)."""
+    MinHash-LSH candidate set (the entry query's scale path). ``src``
+    swaps the (doc_id, text) source table/CTE (corpus_clean runs the
+    same twin over its exact-dedup survivors)."""
     cand_filter = ""
     cand_ctes = ""
     if lsh is not None:
@@ -1628,7 +1708,7 @@ def _ngram_jaccard_oracle_sql(
 WITH toks AS (
     SELECT doc_id,
            string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
-    FROM documents
+    FROM {src}
 ), sh AS MATERIALIZED (
     SELECT DISTINCT doc_id,
            array_to_string(t[i : i + {k - 1}], ' ') AS shingle

@@ -1,0 +1,94 @@
+"""End-to-end corpus-cleaning pipeline for training-data preparation.
+
+Composes the text-analysis and dedup operator families into the
+canonical "clean a web corpus" flow, with a per-document disposition
+so every stage's work is observable (and hard-oracle-able):
+
+    filtered   — failed the language/quality gate
+    exact_dup  — passed the gate, but another passing doc with a
+                 smaller id has byte-identical normalized text
+    near_dup   — survived exact dedup, but is the larger id of a
+                 verified near-duplicate pair (MinHash-LSH candidates
+                 → exact n-gram Jaccard >= threshold)
+    kept       — survived all stages
+
+At scale every stage is shuffle-bounded: the gate is a scan-speed
+column expression, exact dedup is one hash groupBy on the content
+sha, and near-dup never materializes the all-pairs join (candidates
+come from banded LSH buckets; verification touches candidate pairs
+only). Suppression is greedy-by-id over the verified-pair graph: any
+doc that appears as the larger id of SOME verified pair drops — the
+standard keep-first LSH dedup rule, deterministic for a fixed input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_graph_analytics_spark.functions.dedup import (
+    _normalized,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from distributed_graph_analytics_spark.functions.text import analyze_documents
+
+
+def corpus_disposition(
+    docs: DataFrame,
+    quality_min: float = 0.6,
+    langs: tuple[str, ...] = ("en",),
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_k: int = 8,
+    jaccard_threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-document disposition (doc_id, status, quality, lang_guess)
+    over the full input set. ``hash_family="sha2"`` makes the LSH
+    candidate set reproducible in the DuckDB oracle."""
+    stats = analyze_documents(docs)
+    base = docs.select("doc_id", "text").join(
+        stats.select("doc_id", "quality", "lang_guess"), "doc_id"
+    )
+    is_pass = F.col("lang_guess").isin(list(langs)) & (
+        F.col("quality") >= quality_min
+    )
+    failed = base.where(~is_pass).select(
+        "doc_id", F.lit("filtered").alias("status"), "quality", "lang_guess"
+    )
+    passed = base.where(is_pass)
+    hashed = passed.withColumn("sha", F.sha2(_normalized(F.col("text")), 256))
+    keepers = hashed.groupBy("sha").agg(F.min("doc_id").alias("keep_id"))
+    tagged = hashed.join(keepers, "sha")
+    survivors = tagged.where(F.col("doc_id") == F.col("keep_id"))
+    cands = minhash_lsh_candidates(
+        survivors, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    )
+    near = (
+        ngram_jaccard_pairs(
+            survivors, candidates=cands, k=jaccard_k,
+            threshold=jaccard_threshold,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near", F.lit(True))
+    )
+    disposed = tagged.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(F.col("near"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        "quality",
+        "lang_guess",
+    )
+    return disposed.unionByName(failed)
+
+
+def clean_corpus(docs: DataFrame, **kwargs) -> DataFrame:
+    """The surviving corpus: input docs whose disposition is 'kept'
+    (left-semi join back to the full rows, so downstream stages keep
+    every original column)."""
+    kept = corpus_disposition(docs, **kwargs).where(F.col("status") == "kept")
+    return docs.join(kept.select("doc_id"), "doc_id", "left_semi")

@@ -1,0 +1,64 @@
+"""corpus_disposition / clean_corpus: crafted-fixture semantics plus
+partition-invariant checks on the testdata corpus."""
+
+from pyspark.sql import functions as F
+
+from distributed_graph_analytics_spark.functions.pipeline import (
+    clean_corpus,
+    corpus_disposition,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "where the water flows down from the hills of the north country in "
+    "spring and the birds sing songs of the morning light while children "
+    "play in the fields near the old mill and farmers tend to their crops "
+    "with care and patience as the sun rises over the quiet valley town "
+    "bringing warmth and hope to all of the people who live and work there"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, _GOOD),                      # kept
+        (2, _GOOD.replace(" ", "  ")),   # exact dup of 1 (normalizes equal)
+        (3, _GOOD + " tomorrow"),        # near dup of 1 (one appended token)
+        (4, "zzz !!!"),                  # junk -> filtered
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_disposition_crafted_fixture(spark):
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_disposition(_docs(spark)).collect()
+    }
+    assert got == {1: "kept", 2: "exact_dup", 3: "near_dup", 4: "filtered"}
+
+
+def test_clean_corpus_keeps_survivors_with_all_columns(spark):
+    docs = _docs(spark).withColumn("extra", F.lit("x"))
+    out = clean_corpus(docs).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["extra"] == "x"  # original columns survive the semi-join
+
+
+def test_disposition_partitions_the_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    disp = corpus_disposition(docs).toPandas()
+    # exactly one disposition per input doc
+    assert len(disp) == docs.count()
+    assert disp["doc_id"].is_unique
+    assert set(disp["status"]) <= {"kept", "exact_dup", "near_dup", "filtered"}
+    # the gate actually gates and the corpus isn't empty
+    assert (disp["status"] == "kept").sum() > 0
+    assert (disp["status"] == "filtered").sum() > 0
+    # clean_corpus == the kept set
+    kept = set(disp[disp["status"] == "kept"]["doc_id"])
+    assert {
+        r["doc_id"] for r in clean_corpus(docs).select("doc_id").collect()
+    } == kept

@@ -23,6 +23,7 @@ standard keep-first LSH dedup rule, deterministic for a fixed input.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,8 +49,16 @@ def corpus_disposition(
     over the full input set. ``hash_family="sha2"`` makes the LSH
     candidate set reproducible in the DuckDB oracle."""
     stats = analyze_documents(docs)
-    base = docs.select("doc_id", "text").join(
-        stats.select("doc_id", "quality", "lang_guess"), "doc_id"
+    # one pass of the regex-heavy analyze + content sha over the corpus,
+    # disk-backed — every downstream branch (gate split, exact-dedup
+    # keepers, LSH shingles, disposition assembly) reuses it instead of
+    # re-scanning and re-analyzing the input (measured: 30 -> 2 scans
+    # in the physical plan without/with the persists)
+    base = (
+        docs.select("doc_id", "text")
+        .join(stats.select("doc_id", "quality", "lang_guess"), "doc_id")
+        .withColumn("sha", F.sha2(_normalized(F.col("text")), 256))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     is_pass = F.col("lang_guess").isin(list(langs)) & (
         F.col("quality") >= quality_min
@@ -57,10 +66,9 @@ def corpus_disposition(
     failed = base.where(~is_pass).select(
         "doc_id", F.lit("filtered").alias("status"), "quality", "lang_guess"
     )
-    passed = base.where(is_pass)
-    hashed = passed.withColumn("sha", F.sha2(_normalized(F.col("text")), 256))
+    hashed = base.where(is_pass)
     keepers = hashed.groupBy("sha").agg(F.min("doc_id").alias("keep_id"))
-    tagged = hashed.join(keepers, "sha")
+    tagged = hashed.join(keepers, "sha").persist(StorageLevel.MEMORY_AND_DISK)
     survivors = tagged.where(F.col("doc_id") == F.col("keep_id"))
     cands = minhash_lsh_candidates(
         survivors, num_hashes=num_hashes, bands=bands, hash_family=hash_family

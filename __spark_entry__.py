@@ -1091,6 +1091,50 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core decomposition to convergence (operators/kcore.py, h-index
+    # propagation). Estimates are INTEGER and the update is idempotent
+    # at the fixed point, so the 20-round unrolled oracle is exact at
+    # any sf whose convergence takes <= 20 rounds (measured: 10 at
+    # sf0.001, 19 at sf0.01; bound pinned by tests/test_kcore.py) —
+    # no measured-halt fragility like the float kernels.
+    from distributed_graph_analytics_spark.operators.kcore import core_numbers
+
+    cores, _stats = core_numbers(load_edges(spark, sf_dir), edges_canonical=True)
+    return cores
+
+
+def _kcore_unrolled_sql(rounds: int) -> str:
+    """h-index propagation from degrees, unrolled; LEAST with the
+    previous value mirrors operators/kcore.py exactly. With values
+    sorted descending, positions where value >= position form a
+    prefix, so COUNT(*) over the filtered rows is the h-index."""
+    ctes = [
+        "c0 AS MATERIALIZED (SELECT v AS id, COUNT(*)::BIGINT AS core"
+        " FROM sym GROUP BY v)"
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT s.id, LEAST(s.core, h.h) AS core
+  FROM c{k - 1} s JOIN (
+      SELECT id, COUNT(*) AS h FROM (
+          SELECT e.u AS id, p.core AS nval,
+                 row_number() OVER (PARTITION BY e.u
+                                    ORDER BY p.core DESC) AS rn
+          FROM sym e JOIN c{k - 1} p ON p.id = e.v
+      ) WHERE nval >= rn GROUP BY id
+  ) h ON h.id = s.id
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, core FROM c{rounds}"
+    )
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end corpus-cleaning pipeline (functions/pipeline.py):
     # language/quality gate -> exact dedup -> LSH+Jaccard near-dup
@@ -1248,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_sessions_capped": _q_events_sessions_capped,
         "corpus_clean": _q_corpus_clean,
+        "kcore": _q_kcore,
     }
 
 
@@ -1311,6 +1356,7 @@ HAVING COUNT(*) > 1
             k=8, threshold=0.8, lsh=(5, 16, 8)
         ),
         "corpus_clean": _corpus_clean_oracle_sql(),
+        "kcore": _kcore_unrolled_sql(20),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 ANALYTICS = (
     "wcc", "pr", "lc", "louvain", "lpa", "hbse", "triangles",
-    "neighboringCommunities",
+    "neighboringCommunities", "kcore",
 )
 
 
@@ -254,6 +254,13 @@ def dispatch(args, edges, ckpt):
         )
 
         return triangle_count_per_vertex(edges)
+    if a == "kcore":
+        from distributed_graph_analytics_spark.operators.kcore import core_numbers
+
+        cores, _ = core_numbers(
+            edges, args.max_iterations, checkpoint_manager=ckpt
+        )
+        return cores
     if a == "neighboringCommunities":
         from distributed_graph_analytics_spark.operators.neighboring_communities import (
             neighboring_communities,

@@ -57,3 +57,14 @@ def test_cli_lc_edge_sink_parquet(spark, tmp_path):
         (r["src"], r["dst"]) for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)}
+
+
+def test_cli_kcore_vertex_sink_parquet(spark, tmp_path):
+    # edge list reads as DIRECTED edges 1->2,2->3,3->1,3->4; kcore
+    # symmetrizes: triangle {1,2,3} cores 2, leaf 4 core 1
+    inp = _write_edges(tmp_path)
+    out = str(tmp_path / "kcore_out")
+    args = build_parser().parse_args(["kcore", "-i", inp, "-o", out])
+    assert run(args, spark) == 0
+    got = {(r["id"], r["core"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2), (4, 1)}

@@ -1091,6 +1091,67 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_ITERS = 10
+_PPR_SOURCES = 10
+
+
+def _q_ppr_fixed10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # personalized PageRank (operators/pagerank.py::personalized_pagerank)
+    # at fixed 10 iterations; sources = the 10 smallest vertex ids
+    # (deterministic in both engines). Rounded to 9 like the global PR.
+    from distributed_graph_analytics_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+    from distributed_graph_analytics_spark.sources.edges import vertices_of
+
+    edges = load_edges(spark, sf_dir)
+    srcs = vertices_of(edges).orderBy("id").limit(_PPR_SOURCES)
+    ranks, _ = personalized_pagerank(
+        edges, srcs, epsilon=0.0, max_iterations=_PPR_ITERS
+    )
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _ppr_unrolled_sql(
+    iters: int, n_sources: int, damping: float = 0.85
+) -> str:
+    """Personalized-PageRank unroll: teleport (1-d)·s(v) with s = 1/|S|
+    on the n_sources smallest vertex ids; r0 = s; dangling mass
+    vanishes (same as the global kernel's oracle)."""
+    ctes = [
+        f"""out_deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+srcs AS MATERIALIZED (SELECT id FROM vertices ORDER BY id LIMIT {n_sources}),
+seed AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN s.id IS NOT NULL
+              THEN 1.0 / (SELECT COUNT(*) FROM srcs) ELSE 0.0 END AS sd
+  FROM vertices v LEFT JOIN srcs s ON s.id = v.id
+),
+p0 AS MATERIALIZED (SELECT id, sd AS rank FROM seed)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1 - {damping}) * v.sd + {damping} * coalesce(m.msg_sum, 0) AS rank
+  FROM seed v
+  LEFT JOIN (
+      SELECT e.dst AS id, sum(r.rank / d.od) AS msg_sum
+      FROM edges e
+      JOIN p{k - 1} r ON r.id = e.src
+      JOIN out_deg d ON d.src = e.src
+      GROUP BY e.dst
+  ) m ON m.id = v.id
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM p{iters}"
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-core decomposition to convergence (operators/kcore.py, h-index
     # propagation). Estimates are INTEGER and the update is idempotent
@@ -1293,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_capped": _q_events_sessions_capped,
         "corpus_clean": _q_corpus_clean,
         "kcore": _q_kcore,
+        "ppr_fixed10": _q_ppr_fixed10,
     }
 
 
@@ -1357,6 +1419,7 @@ HAVING COUNT(*) > 1
         ),
         "corpus_clean": _corpus_clean_oracle_sql(),
         "kcore": _kcore_unrolled_sql(20),
+        "ppr_fixed10": _ppr_unrolled_sql(_PPR_ITERS, _PPR_SOURCES),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

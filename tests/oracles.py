@@ -134,3 +134,34 @@ def giraph_lc_oracle(edge_list, max_supersteps=1000):
         out.pop(r, None)
     edges = {(s, d) for s in values for d in out.get(s, [])}
     return values, edges
+
+
+def ppr_oracle(edge_list, sources, damping=0.85, epsilon=1e-6, max_iter=100):
+    """Personalized-PageRank twin: rank = (1-d)*s(v) + d*sum(in msgs),
+    s = 1/|S| on the source set; r0 = s; halt on max-abs delta."""
+    from collections import defaultdict
+
+    out_edges = defaultdict(list)
+    vertices = set()
+    for e in edge_list:
+        s, d = int(e[0]), int(e[1])
+        out_edges[s].append(d)
+        vertices.add(s)
+        vertices.add(d)
+    seed = {v: (1.0 / len(sources) if v in set(sources) else 0.0) for v in vertices}
+    rank = dict(seed)
+    for _ in range(max_iter):
+        msgs = defaultdict(float)
+        for s, dsts in out_edges.items():
+            share = rank[s] / len(dsts)
+            for d in dsts:
+                msgs[d] += share
+        new_rank = {
+            v: (1.0 - damping) * seed[v] + damping * msgs.get(v, 0.0)
+            for v in vertices
+        }
+        max_delta = max(abs(new_rank[v] - rank[v]) for v in vertices)
+        rank = new_rank
+        if max_delta < epsilon:
+            break
+    return rank

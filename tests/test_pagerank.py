@@ -118,3 +118,35 @@ def test_empty_and_degenerate_graphs(spark):
     loop_edge = spark.createDataFrame([(1, 1, 1)], "src long, dst long, weight long")
     ranks, _ = pagerank(loop_edge)
     assert ranks.count() == 1
+
+
+from distributed_graph_analytics_spark.operators.pagerank import (  # noqa: E402
+    personalized_pagerank,
+)
+from tests.oracles import ppr_oracle  # noqa: E402
+
+
+@pytest.mark.parametrize("edge_list", [G.PR_CYCLE, G.TWO_CLIQUES_BRIDGED])
+def test_ppr_matches_python_twin(spark, edge_list):
+    srcs = sorted({int(e[0]) for e in edge_list})[:2]
+    edges = edges_df(spark, edge_list)
+    got_df, stats = personalized_pagerank(
+        edges, spark.createDataFrame([(s,) for s in srcs], ["id"])
+    )
+    got = {r["id"]: r["rank"] for r in got_df.collect()}
+    want = ppr_oracle(edge_list, srcs)
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-9, abs_tol=1e-12), (
+            v, got[v], want[v])
+    assert stats.converged
+    # teleport mass localizes: every source outranks the global minimum,
+    # and total mass never exceeds 1 (dangling mass only leaks out)
+    assert sum(got.values()) <= 1.0 + 1e-9
+    assert min(got[s] for s in srcs) > min(got.values())
+
+
+def test_ppr_requires_sources(spark):
+    edges = edges_df(spark, G.PR_CYCLE)
+    with pytest.raises(ValueError, match="non-empty source set"):
+        personalized_pagerank(edges, edges.select("src").alias("id").where("src < 0").selectExpr("src as id"))

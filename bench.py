@@ -58,6 +58,15 @@ def main() -> dict:
     n_comp = comps.select("component").distinct().count()
     t_wcc = time.time() - t0
 
+    # informational extra (not part of the headline metric): k-core
+    # decomposition to convergence on the same edge table
+    from distributed_graph_analytics_spark.operators.kcore import core_numbers
+
+    t0 = time.time()
+    cores, kc_stats = core_numbers(edges, edges_canonical=True)
+    cores.count()
+    t_kcore = time.time() - t0
+
     total = t_pr + t_wcc
     result = {
         "metric": "pagerank+wcc seconds to convergence (repo co-occurrence edge table)",
@@ -67,6 +76,7 @@ def main() -> dict:
             "edge_build": round(t_build, 3),
             "pagerank": round(t_pr, 3),
             "wcc": round(t_wcc, 3),
+            "kcore": round(t_kcore, 3),
         },
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
@@ -75,6 +85,7 @@ def main() -> dict:
         "components": n_comp,
         "pr_iterations": pr_stats.iterations,
         "wcc_iterations": wcc_stats.iterations,
+        "kcore_iterations": kc_stats.iterations,
         "edges_per_sec": {
             "pagerank": round(n_edges * pr_stats.iterations / t_pr),
             "wcc": round(n_edges * wcc_stats.iterations / t_wcc),

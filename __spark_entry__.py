@@ -1091,6 +1091,61 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LP_MIN_COMMON = 16
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # common-neighbor link-prediction scores for non-adjacent pairs
+    # (operators/link_prediction.py); min_common=16 keeps the result
+    # compact (14k rows at sf0.01) while all three scores stay
+    # non-vacuous at sf0.001 and sf0.01
+    from distributed_graph_analytics_spark.operators.link_prediction import (
+        common_neighbor_scores,
+    )
+
+    scores = common_neighbor_scores(
+        load_edges(spark, sf_dir), min_common=_LP_MIN_COMMON
+    )
+    return scores.select(
+        "u",
+        "v",
+        "common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+def _link_prediction_oracle_sql(min_common: int) -> str:
+    """Wedge-enumeration twin: pairs of an apex's neighbors, grouped on
+    the pair, Adamic-Adar from the apex degree, anti-join against the
+    canonical edge list, Jaccard from endpoint degrees."""
+    return (
+        _EDGES_CTE
+        + f""", degv AS MATERIALIZED (
+    SELECT u AS x, COUNT(*) AS deg FROM sym GROUP BY u
+), pair AS MATERIALIZED (
+    SELECT s1.v AS pu, s2.v AS pv, COUNT(*) AS common,
+           SUM(1.0 / ln(d.deg)) AS aa
+    FROM sym s1
+    JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+    JOIN degv d ON d.x = s1.u
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_common}
+), cand AS (
+    SELECT p.* FROM pair p
+    LEFT JOIN edges e ON e.src = p.pu AND e.dst = p.pv
+    WHERE e.src IS NULL
+)
+SELECT pu AS u, pv AS v, common,
+       round(common / (du.deg + dv.deg - common), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM cand
+JOIN degv du ON du.x = pu
+JOIN degv dv ON dv.x = pv
+"""
+    )
+
+
 _PPR_ITERS = 10
 _PPR_SOURCES = 10
 
@@ -1355,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "kcore": _q_kcore,
         "ppr_fixed10": _q_ppr_fixed10,
+        "link_prediction": _q_link_prediction,
     }
 
 
@@ -1420,6 +1476,7 @@ HAVING COUNT(*) > 1
         "corpus_clean": _corpus_clean_oracle_sql(),
         "kcore": _kcore_unrolled_sql(20),
         "ppr_fixed10": _ppr_unrolled_sql(_PPR_ITERS, _PPR_SOURCES),
+        "link_prediction": _link_prediction_oracle_sql(_LP_MIN_COMMON),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -1091,6 +1091,59 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WALK_LEN = 4
+_WALK_SEED = 42
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic seeded random walks (operators/walks.py): neighbor
+    # choice is H(walk_id, step, seed) mod deg over id-sorted neighbor
+    # lists, so the sha2 family replays bit-for-bit in DuckDB
+    from distributed_graph_analytics_spark.operators.walks import random_walks
+
+    return random_walks(
+        load_edges(spark, sf_dir),
+        walk_length=_WALK_LEN,
+        seed=_WALK_SEED,
+        hash_family="sha2",
+    )
+
+
+def _walks_unrolled_sql(walk_length: int, seed: int) -> str:
+    """Replay of operators/walks.py with the sha2 hash family: per
+    step, rank the current vertex's neighbors by id and take rank
+    H(walk, step, seed) mod deg + 1."""
+    ctes = [
+        """nbr AS MATERIALIZED (
+    SELECT u AS v, v AS nb,
+           row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+    FROM sym
+), degw AS MATERIALIZED (SELECT u AS v, COUNT(*) AS deg FROM sym GROUP BY u),
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM vertices)"""
+    ]
+    for t in range(1, walk_length + 1):
+        h = _sha60(f"concat(w.walk_id, ':', {t}, ':', {seed})")
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.walk_id, n.nb AS cur
+  FROM w{t - 1} w
+  JOIN degw d ON d.v = w.cur
+  JOIN nbr n ON n.v = w.cur AND n.rn = ({h} % d.deg) + 1
+)"""
+        )
+    selects = [
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(walk_length + 1)
+    ]
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 _LP_MIN_COMMON = 16
 
 
@@ -1411,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         "ppr_fixed10": _q_ppr_fixed10,
         "link_prediction": _q_link_prediction,
+        "random_walks": _q_random_walks,
     }
 
 
@@ -1477,6 +1531,7 @@ HAVING COUNT(*) > 1
         "kcore": _kcore_unrolled_sql(20),
         "ppr_fixed10": _ppr_unrolled_sql(_PPR_ITERS, _PPR_SOURCES),
         "link_prediction": _link_prediction_oracle_sql(_LP_MIN_COMMON),
+        "random_walks": _walks_unrolled_sql(_WALK_LEN, _WALK_SEED),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -1091,6 +1091,36 @@ def _q_events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-row graph health summary (operators/stats.py)
+    from distributed_graph_analytics_spark.operators.stats import graph_summary
+
+    return graph_summary(load_edges(spark, sf_dir))
+
+
+_GRAPH_STATS_ORACLE_SQL = (
+    _EDGES_CTE
+    + """, degv AS MATERIALIZED (
+    SELECT u AS id, COUNT(*) AS deg FROM sym GROUP BY u
+), tri AS (
+    SELECT COUNT(*)::BIGINT AS t
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+    JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT COUNT(*)::BIGINT AS n_vertices,
+       (SELECT COUNT(*) FROM edges)::BIGINT AS n_edges,
+       round(SUM(deg) * 1.0 / COUNT(*), 6) AS avg_degree,
+       MAX(deg)::BIGINT AS max_degree,
+       (SUM(deg * (deg - 1)) / 2)::BIGINT AS wedges,
+       (SELECT t FROM tri) AS triangles,
+       round(3.0 * (SELECT t FROM tri) / (SUM(deg * (deg - 1)) / 2), 6)
+         AS global_clustering
+FROM degv
+"""
+)
+
+
 _WALK_LEN = 4
 _WALK_SEED = 42
 
@@ -1465,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_fixed10": _q_ppr_fixed10,
         "link_prediction": _q_link_prediction,
         "random_walks": _q_random_walks,
+        "graph_stats": _q_graph_stats,
     }
 
 
@@ -1532,6 +1563,7 @@ HAVING COUNT(*) > 1
         "ppr_fixed10": _ppr_unrolled_sql(_PPR_ITERS, _PPR_SOURCES),
         "link_prediction": _link_prediction_oracle_sql(_LP_MIN_COMMON),
         "random_walks": _walks_unrolled_sql(_WALK_LEN, _WALK_SEED),
+        "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -104,7 +104,10 @@ def random_walks(
                 ).alias("cur"),
             )
         )
-        walkers = hop
+        # persist each frontier: the output union references every
+        # step's walkers, and without this each union branch would
+        # recompute the whole chain of prior hops (O(L²) joins)
+        walkers = hop.persist(StorageLevel.MEMORY_AND_DISK)
         out = out.unionByName(
             walkers.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")

@@ -41,3 +41,21 @@ def test_self_loop_only_vertex_gets_zero_row(spark):
     )
     got = {r["id"]: r["triangles"] for r in triangle_count_per_vertex(df).collect()}
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_graph_summary_fixture(spark):
+    from distributed_graph_analytics_spark.operators.stats import graph_summary
+
+    # triangle 1-2-3 plus pendant 3-4: V=4, E=4, degrees 2,2,3,1
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    r = graph_summary(df).collect()[0]
+    assert r["n_vertices"] == 4
+    assert r["n_edges"] == 4
+    assert r["max_degree"] == 3
+    # wedges = sum d(d-1)/2 = (1+1+3+0) = 5; one triangle; C = 3/5
+    assert r["wedges"] == 5
+    assert r["triangles"] == 1
+    assert abs(r["global_clustering"] - 0.6) < 1e-9
+    assert abs(r["avg_degree"] - 2.0) < 1e-9

@@ -1121,6 +1121,50 @@ FROM degv
 )
 
 
+_SSSP_ROUNDS = 6
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted SSSP from the smallest vertex id (operators/sssp.py).
+    # Distances are INTEGER sums of co-occurrence weights and the
+    # relaxation is idempotent at the fixed point, so the 6-round
+    # Bellman-Ford unroll is exact at any sf converging within 6
+    # rounds (measured: 3 at sf0.001 AND sf0.01 — dense diameter-2
+    # graphs; bound pinned by tests/test_sssp.py)
+    from distributed_graph_analytics_spark.operators.sssp import sssp
+
+    edges = load_edges(spark, sf_dir)
+    src_id = edges.selectExpr("min(least(src, dst)) AS m").first()["m"]
+    dists, _stats = sssp(edges, src_id)
+    return dists
+
+
+def _sssp_unrolled_sql(rounds: int) -> str:
+    """Bellman-Ford unroll: per round, settled distances relax along
+    every incident edge; min-combine with the previous table."""
+    ctes = [
+        "d0 AS MATERIALIZED (SELECT (SELECT MIN(id) FROM vertices) AS id,"
+        " 0::BIGINT AS dist)"
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT id, MIN(dist)::BIGINT AS dist FROM (
+      SELECT id, dist FROM d{k - 1}
+      UNION ALL
+      SELECT s.v AS id, d.dist + s.weight AS dist
+      FROM d{k - 1} d JOIN sym s ON s.u = d.id
+  ) GROUP BY id
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, dist FROM d{rounds}"
+    )
+
+
 _WALK_LEN = 4
 _WALK_SEED = 42
 
@@ -1496,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "random_walks": _q_random_walks,
         "graph_stats": _q_graph_stats,
+        "sssp": _q_sssp,
     }
 
 
@@ -1564,6 +1609,7 @@ HAVING COUNT(*) > 1
         "link_prediction": _link_prediction_oracle_sql(_LP_MIN_COMMON),
         "random_walks": _walks_unrolled_sql(_WALK_LEN, _WALK_SEED),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
+        "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

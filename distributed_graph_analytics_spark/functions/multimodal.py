@@ -119,6 +119,71 @@ def extract_features(media: DataFrame, fake: bool = True, batch_size: int = 256)
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_image(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """STUB: real resizing requires a codec library not present in this
+    container. fake=True emits a deterministic stand-in payload of
+    width*height bytes cycled from the source hash — size-realistic so
+    batch-memory behavior is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires a codec library (e.g. Pillow); "
+            "run with fake=True for the deterministic stand-in"
+        )
+    h = hashlib.sha256(payload).digest()
+    n = width * height
+    return (h * (n // len(h) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = True,
+    batch_size: int = 64,
+) -> DataFrame:
+    """mapInPandas resize: Arrow-batched with a LOW default batch size —
+    decoded pixel buffers dominate memory, so the batch bound (not the
+    row count) is what keeps an executor alive at 100 TB. Only image
+    rows pass through; the projection prunes every other column before
+    the Python boundary."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        resize_image(bytes(p), width, height, fake=fake)
+                        for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled
     timestamp (decode stubbed; timestamps are real columnar math)."""

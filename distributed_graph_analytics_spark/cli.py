@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 ANALYTICS = (
     "wcc", "pr", "lc", "louvain", "lpa", "hbse", "triangles",
-    "neighboringCommunities", "kcore",
+    "neighboringCommunities", "kcore", "sssp", "linkPrediction",
+    "randomWalks", "graphStats",
 )
 
 
@@ -58,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--minprogress", type=int, default=2000)
     p.add_argument("--progresscounter", type=int, default=1)
     p.add_argument("--k", type=int, default=10, help="HBSE top-K size")
+    p.add_argument("--source", type=int, default=None,
+                   help="sssp source vertex (default: smallest id)")
+    p.add_argument("--min-common", type=int, default=2,
+                   help="linkPrediction common-neighbor threshold")
+    p.add_argument("--max-apex-degree", type=int, default=None,
+                   help="linkPrediction hub stop-word cut")
+    p.add_argument("--walk-length", type=int, default=4)
     p.add_argument("--pivot-batch-size", type=int, default=None)
     p.add_argument("--max-iterations", type=int, default=200)
     p.add_argument("--reverse", action="store_true", help="reverse-edge duplication")
@@ -261,6 +269,31 @@ def dispatch(args, edges, ckpt):
             edges, args.max_iterations, checkpoint_manager=ckpt
         )
         return cores
+    if a == "sssp":
+        from distributed_graph_analytics_spark.operators.sssp import sssp
+
+        src = args.source
+        if src is None:
+            src = edges.selectExpr("min(least(src, dst)) AS m").first()["m"]
+        dists, _ = sssp(edges, src, args.max_iterations)
+        return dists
+    if a == "linkPrediction":
+        from distributed_graph_analytics_spark.operators.link_prediction import (
+            common_neighbor_scores,
+        )
+
+        return common_neighbor_scores(
+            edges, min_common=args.min_common,
+            max_apex_degree=args.max_apex_degree,
+        )
+    if a == "randomWalks":
+        from distributed_graph_analytics_spark.operators.walks import random_walks
+
+        return random_walks(edges, walk_length=args.walk_length)
+    if a == "graphStats":
+        from distributed_graph_analytics_spark.operators.stats import graph_summary
+
+        return graph_summary(edges)
     if a == "neighboringCommunities":
         from distributed_graph_analytics_spark.operators.neighboring_communities import (
             neighboring_communities,

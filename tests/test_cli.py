@@ -68,3 +68,35 @@ def test_cli_kcore_vertex_sink_parquet(spark, tmp_path):
     assert run(args, spark) == 0
     got = {(r["id"], r["core"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 2), (2, 2), (3, 2), (4, 1)}
+
+
+def test_cli_new_analytics_dispatch(spark, tmp_path):
+    inp = _write_edges(tmp_path)
+    # sssp with explicit source; weighted input defaults weight=1
+    out = str(tmp_path / "sssp_out")
+    args = build_parser().parse_args(
+        ["sssp", "-i", inp, "-o", out, "--source", "1"]
+    )
+    assert run(args, spark) == 0
+    got = {(r["id"], r["dist"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 0), (2, 1), (3, 1), (4, 2)}
+
+    out2 = str(tmp_path / "gs_out")
+    args = build_parser().parse_args(["graphStats", "-i", inp, "-o", out2])
+    assert run(args, spark) == 0
+    r = spark.read.parquet(out2).collect()[0]
+    assert r["n_vertices"] == 4 and r["n_edges"] == 4
+
+    out3 = str(tmp_path / "walks_out")
+    args = build_parser().parse_args(
+        ["randomWalks", "-i", inp, "-o", out3, "--walk-length", "2"]
+    )
+    assert run(args, spark) == 0
+    assert spark.read.parquet(out3).count() == 4 * 3
+
+    out4 = str(tmp_path / "lp_out")
+    args = build_parser().parse_args(
+        ["linkPrediction", "-i", inp, "-o", out4, "--min-common", "1"]
+    )
+    assert run(args, spark) == 0
+    assert spark.read.parquet(out4).count() > 0

@@ -1121,6 +1121,37 @@ FROM degv
 )
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repeated-3-gram fraction per document (functions/text.py
+    # ::repetition_ratio) — the boilerplate/spam quality signal
+    from distributed_graph_analytics_spark.functions.text import (
+        repetition_ratio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(repetition_ratio(F.col("text")), 6).alias("rep3")
+    )
+
+
+_DOC_REPETITION_ORACLE_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+), g AS (
+    SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS s(i)
+), r AS (
+    SELECT doc_id,
+           1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*) AS rep3
+    FROM g GROUP BY doc_id
+)
+SELECT toks.doc_id, round(coalesce(r.rep3, 0.0), 6) AS rep3
+FROM toks LEFT JOIN r ON r.doc_id = toks.doc_id
+"""
+
+
 _SSSP_ROUNDS = 6
 
 
@@ -1541,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
+        "doc_repetition": _q_doc_repetition,
     }
 
 
@@ -1610,6 +1642,7 @@ HAVING COUNT(*) > 1
         "random_walks": _walks_unrolled_sql(_WALK_LEN, _WALK_SEED),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
+        "doc_repetition": _DOC_REPETITION_ORACLE_SQL,
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -76,6 +76,23 @@ def detect_language(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Repeated-n-gram fraction: 1 - distinct(n-grams)/total(n-grams)
+    over whitespace tokens — the standard boilerplate/spam signal for
+    training-data filtering (near-0 for prose, → 1 for looped text).
+    Documents shorter than n tokens score 0. Pure column expressions
+    (two array ops over one split), scan-speed."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / count
+    )
+
+
 def fingerprint_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint per document: xxhash64 of the
     whitespace-normalized lowercased text (stable across partitioning),

@@ -53,3 +53,29 @@ def test_quality_monotonic_on_garbage(spark):
     )
     q = {r["doc_id"]: r["quality"] for r in analyze_documents(df).collect()}
     assert q[1] > q[2]
+
+
+def test_repetition_ratio(spark):
+    from distributed_graph_analytics_spark.functions.text import (
+        repetition_ratio,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d e f"),          # all 3-grams distinct -> 0
+        (2, "x y z x y z x y z"),    # looped text -> high
+        (3, "a b"),                  # shorter than n -> 0
+        (4, ""),                     # empty -> 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", F.round(repetition_ratio(F.col("text")), 6).alias("rep")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    # 7 grams total, 3 distinct ("x y z","y z x","z x y") -> 1 - 3/7
+    assert abs(got[2] - (1 - 3 / 7)) < 1e-6
+    assert got[3] == 0.0
+    assert got[4] == 0.0

@@ -1152,6 +1152,43 @@ FROM toks LEFT JOIN r ON r.doc_id = toks.doc_id
 """
 
 
+def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic stratified sampling by detected language
+    # (functions/pipeline.py::stratified_sample): rebalances the corpus
+    # — 'en' downsampled to 0.3, 'und' kept at 0.8; membership is a
+    # pure hash-bucket rule so the DuckDB oracle selects the same rows
+    from distributed_graph_analytics_spark.functions.pipeline import (
+        stratified_sample,
+    )
+    from distributed_graph_analytics_spark.functions.text import (
+        analyze_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.join(
+        analyze_documents(docs).select("doc_id", "lang_guess"), "doc_id"
+    )
+    return stratified_sample(
+        staged,
+        fractions={"en": 0.3, "und": 0.8},
+        strata_col="lang_guess",
+        hash_family="sha2",
+    ).select("doc_id", "lang_guess")
+
+
+def _doc_sample_oracle_sql(seed: int = 42) -> str:
+    h = _sha60(f"concat(doc_id, ':', {seed})")
+    bucket = f"({h} % 1000000)"
+    return f"""
+WITH stats AS MATERIALIZED ({_DOC_STATS_ORACLE_SQL})
+SELECT doc_id, lang_guess FROM stats
+WHERE {bucket} < CASE lang_guess
+                   WHEN 'en' THEN {int(0.3 * 1_000_000)}
+                   WHEN 'und' THEN {int(0.8 * 1_000_000)}
+                   ELSE 0 END
+"""
+
+
 _SSSP_ROUNDS = 6
 
 
@@ -1573,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
+        "doc_sample": _q_doc_sample,
     }
 
 
@@ -1643,6 +1681,7 @@ HAVING COUNT(*) > 1
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,
+        "doc_sample": _doc_sample_oracle_sql(),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

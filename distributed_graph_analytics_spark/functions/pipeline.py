@@ -94,6 +94,55 @@ def corpus_disposition(
     return disposed.unionByName(failed)
 
 
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Keep a row iff hash(key, seed) mod 1e6 < fraction·1e6 — the
+    reproducible alternative to ``DataFrame.sample``: membership
+    depends only on the key, so reruns, different partitionings and
+    other engines (sha2 family → the DuckDB oracle) select the SAME
+    rows, and downstream joins against a sampled table stay stable
+    across pipeline runs. Pure column expression, scan-speed, pushed
+    into the parquet read as an ordinary filter."""
+    from distributed_graph_analytics_spark.functions.dedup import _hash64
+
+    bucket = F.pmod(
+        _hash64(F.col(key_col), F.lit(seed), family=hash_family), F.lit(1_000_000)
+    )
+    return df.where(bucket < int(fraction * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (rebalance overrepresented
+    strata, e.g. languages): fraction chosen by ``strata_col`` value
+    (strata absent from ``fractions`` are dropped). Same hash-bucket
+    membership rule as :func:`deterministic_sample`."""
+    from distributed_graph_analytics_spark.functions.dedup import _hash64
+
+    bucket = F.pmod(
+        _hash64(F.col(key_col), F.lit(seed), family=hash_family), F.lit(1_000_000)
+    )
+    thresh = None
+    for stratum, frac in fractions.items():
+        t = F.when(F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000)))
+        thresh = t if thresh is None else thresh.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000))
+        )
+    thresh = thresh.otherwise(F.lit(0))
+    return df.where(bucket < thresh)
+
+
 def clean_corpus(docs: DataFrame, **kwargs) -> DataFrame:
     """The surviving corpus: input docs whose disposition is 'kept'
     (left-semi join back to the full rows, so downstream stages keep

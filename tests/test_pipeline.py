@@ -62,3 +62,33 @@ def test_disposition_partitions_the_corpus(spark):
     assert {
         r["doc_id"] for r in clean_corpus(docs).select("doc_id").collect()
     } == kept
+
+
+def test_deterministic_sample_stable_and_proportional(spark):
+    from distributed_graph_analytics_spark.functions.pipeline import (
+        deterministic_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 0.3).collect()}
+    assert a == b  # rerun-stable
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # roughly proportional
+    # nested property: a smaller fraction selects a subset
+    c = {r["doc_id"] for r in deterministic_sample(docs, 0.1).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    from distributed_graph_analytics_spark.functions.pipeline import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(
+        df, fractions={"en": 1.0}, strata_col="lang"
+    ).collect()
+    assert len(out) == 100  # every 'en', no 'de'
+    assert all(r["lang"] == "en" for r in out)

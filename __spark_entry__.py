@@ -1189,6 +1189,29 @@ WHERE {bucket} < CASE lang_guess
 """
 
 
+def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label mean embedding, long format (functions/similarity.py
+    # ::embedding_centroids)
+    from distributed_graph_analytics_spark.functions.similarity import (
+        embedding_centroids,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = embedding_centroids(vecs)
+    return c.select(
+        "group", "pos", F.round("centroid", 6).alias("centroid"), "n"
+    )
+
+
+_EMBEDDING_CENTROIDS_ORACLE_SQL = """
+SELECT label AS "group", g.i - 1 AS pos,
+       round(AVG(embedding[g.i]::DOUBLE), 6) AS centroid,
+       COUNT(*) AS n
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+GROUP BY 1, 2
+"""
+
+
 _SSSP_ROUNDS = 6
 
 
@@ -1611,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
         "doc_sample": _q_doc_sample,
+        "embedding_centroids": _q_embedding_centroids,
     }
 
 
@@ -1682,6 +1706,7 @@ HAVING COUNT(*) > 1
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,
         "doc_sample": _doc_sample_oracle_sql(),
+        "embedding_centroids": _EMBEDDING_CENTROIDS_ORACLE_SQL,
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

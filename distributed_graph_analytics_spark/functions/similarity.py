@@ -277,6 +277,29 @@ def ivf_cosine_topk(
     return _window_topk(scored, k)
 
 
+def embedding_centroids(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding in LONG format: (group, pos, centroid,
+    n) — one row per (group, dimension). Positional explode + one
+    partial-aggregated groupBy((group, pos)): rows scale as |V|·dim but
+    stay 4 columns wide, the shuffle combines map-side, and no row ever
+    holds a whole vector — the layout that survives billions of
+    vectors. Re-pack to arrays downstream with
+    ``sort_array(collect_list(struct(pos, centroid)))`` if needed."""
+    ex = vectors.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "val"),
+    )
+    return ex.groupBy("group", "pos").agg(
+        F.avg("val").alias("centroid"), F.count(F.lit(1)).alias("n")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -111,3 +111,27 @@ def test_lsh_multi_table_recall_monotone(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 > r1
     assert r4 >= 0.45
+
+
+def test_embedding_centroids_long_format(spark):
+    from distributed_graph_analytics_spark.functions.similarity import (
+        embedding_centroids,
+    )
+
+    v = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = embedding_centroids(v).toPandas()
+    dim = len(v.first()["embedding"])
+    labels = {r["label"] for r in v.select("label").distinct().collect()}
+    assert len(got) == len(labels) * dim
+    # n constant per group == that label's vector count
+    counts = {r["label"]: r["c"] for r in
+              v.groupBy("label").count().withColumnRenamed("count", "c").collect()}
+    for (g, n) in got.groupby("group")["n"].first().items():
+        assert n == counts[g]
+    # spot-check one (group, pos) mean against numpy
+    pdf = v.toPandas()
+    g0 = sorted(labels)[0]
+    mat = np.array(pdf[pdf["label"] == g0]["embedding"].tolist(), dtype=np.float64)
+    want0 = mat[:, 0].mean()
+    got0 = got[(got["group"] == g0) & (got["pos"] == 0)]["centroid"].iloc[0]
+    np.testing.assert_allclose(got0, want0, rtol=1e-9)

@@ -1212,6 +1212,122 @@ GROUP BY 1, 2
 """
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (operators/temporal.py): each click enriched with the
+    # latest prior purchase of the same user (equal ts matches; ties
+    # broken toward the larger event_id — the window twin mirrors it)
+    from distributed_graph_analytics_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts_us", "user_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts_us", "user_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts_us",
+        by=("user_id",),
+        right_cols=("event_id", "value"),
+        tiebreak="event_id",
+        prefix="purchase_",
+    )
+    return out.select(
+        "event_id",
+        "ts_us",
+        "user_id",
+        "purchase_event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+_EVENTS_ASOF_ORACLE_SQL = """
+WITH l AS (
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id
+    FROM events WHERE event_type = 'click'
+), r AS (
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+    FROM events WHERE event_type = 'purchase'
+), u AS (
+    SELECT user_id, ts_us, 1 AS side, NULL::BIGINT AS tb,
+           NULL::STRUCT(id BIGINT, v DOUBLE) AS payload, event_id AS l_id
+    FROM l
+    UNION ALL
+    SELECT user_id, ts_us, 0, event_id,
+           struct_pack(id := event_id, v := value), NULL
+    FROM r
+), c AS (
+    SELECT user_id, ts_us, side, l_id,
+           last_value(payload IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, side, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+    FROM u
+)
+SELECT l_id AS event_id, ts_us, user_id,
+       m.id AS purchase_event_id, round(m.v, 6) AS purchase_value
+FROM c WHERE side = 1
+"""
+
+
+def _q_events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucketized interval join (operators/temporal.py): every event
+    # lands in exactly one of its user's inactivity-gap sessions
+    from distributed_graph_analytics_spark.operators.temporal import (
+        interval_join,
+    )
+    from distributed_graph_analytics_spark.streaming.sessions import (
+        batch_sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    points = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    sessions = batch_sessionize(ev, gap="12 hours").select(
+        "user_id",
+        F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
+    )
+    return interval_join(points, sessions).select(
+        "event_id", "user_id", F.col("start_us").alias("session_start_us")
+    )
+
+
+_EVENTS_IN_SESSIONS_ORACLE_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {{gap}}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+), iv AS MATERIALIZED (
+  SELECT user_id, epoch_us(MIN(ts)) AS start_us,
+         epoch_us(MAX(ts)) + {{gap}} AS end_us
+  FROM sess GROUP BY user_id, sid
+)
+SELECT e.event_id, e.user_id, iv.start_us AS session_start_us
+FROM events e
+JOIN iv ON iv.user_id = e.user_id
+       AND iv.start_us <= epoch_us(e.ts) AND epoch_us(e.ts) < iv.end_us
+"""
+
+
 _SSSP_ROUNDS = 6
 
 
@@ -1635,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "doc_sample": _q_doc_sample,
         "embedding_centroids": _q_embedding_centroids,
+        "events_asof": _q_events_asof,
+        "events_in_sessions": _q_events_in_sessions,
     }
 
 
@@ -1707,6 +1825,10 @@ HAVING COUNT(*) > 1
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,
         "doc_sample": _doc_sample_oracle_sql(),
         "embedding_centroids": _EMBEDDING_CENTROIDS_ORACLE_SQL,
+        "events_asof": _EVENTS_ASOF_ORACLE_SQL,
+        "events_in_sessions": _EVENTS_IN_SESSIONS_ORACLE_SQL.format(
+            gap=_GAP_US
+        ),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

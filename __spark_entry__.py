@@ -1328,6 +1328,39 @@ JOIN iv ON iv.user_id = e.user_id
 """
 
 
+def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-granularity rollup (native Spark ROLLUP -> Catalyst Expand):
+    # per (day, event_type), per day, and grand total in ONE pass —
+    # the grouping-sets category from SURVEY §2.4, exercised for the
+    # pipeline surface even though the reference lacks it
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.select(day.alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_CUBE_ORACLE_SQL = """
+SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '(all)') AS day,
+       coalesce(event_type, '(all)') AS event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+"""
+
+
 _SSSP_ROUNDS = 6
 
 
@@ -1753,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_embedding_centroids,
         "events_asof": _q_events_asof,
         "events_in_sessions": _q_events_in_sessions,
+        "events_cube": _q_events_cube,
     }
 
 
@@ -1829,6 +1863,7 @@ HAVING COUNT(*) > 1
         "events_in_sessions": _EVENTS_IN_SESSIONS_ORACLE_SQL.format(
             gap=_GAP_US
         ),
+        "events_cube": _EVENTS_CUBE_ORACLE_SQL,
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

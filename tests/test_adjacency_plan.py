@@ -205,3 +205,106 @@ def test_full_superstep_single_exchange(spark):
         if "Exchange" in ln and "Reused" not in ln
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_kcore_superstep_single_exchange(spark):
+    """kcore's h-index superstep keeps the PageRank/WCC invariant: ONE
+    exchange (re-keying messages to the receiver); the window sort, the
+    prefix-count groupBy and the state join all reuse that layout."""
+    from pyspark.sql import Window
+
+    from distributed_graph_analytics_spark.operators.wcc import (
+        build_sym_adjacency,
+    )
+    from distributed_graph_analytics_spark.plans.join_strategy import (
+        maybe_broadcast,
+    )
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.range(1000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 31 + 3).alias("dst")
+    )
+    with aqe_off(spark):
+        nbrs = build_sym_adjacency(e, n_part).localCheckpoint(eager=True)
+        state = (
+            nbrs.select(F.col("v").alias("id"))
+            .distinct()
+            .select("id", F.lit(5).cast("long").alias("core"))
+            .repartition(n_part, "id")
+            .localCheckpoint(eager=True)
+        )
+    n = 200_000  # force the shuffle_hash path
+    w = Window.partitionBy("id").orderBy(F.desc("nval"), F.desc("sender"))
+    msgs = nbrs.join(maybe_broadcast(state, n), nbrs["v"] == state["id"]).select(
+        F.col("v").alias("sender"),
+        F.explode("us").alias("id"),
+        F.col("core").alias("nval"),
+    )
+    h = (
+        msgs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("nval") >= F.col("rn"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    new_state = state.join(maybe_broadcast(h, n), "id").select(
+        "id", F.least("core", "h").alias("core")
+    )
+    with aqe_off(spark):
+        plan = _executed_plan(new_state)
+    exchanges = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_sssp_superstep_single_exchange(spark):
+    """sssp's relax superstep: one exchange (candidate re-key to the
+    receiver); the min-combine groupBy and the full-outer state join
+    reuse it."""
+    from distributed_graph_analytics_spark.operators.sssp import (
+        _packed_weighted,
+    )
+    from distributed_graph_analytics_spark.plans.join_strategy import (
+        maybe_broadcast,
+    )
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.range(1000).select(
+        (F.col("id") % 97).alias("src"),
+        (F.col("id") % 31 + 3).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    sym = e.select(F.col("src").alias("v"), F.col("dst").alias("nb"), "w")
+    with aqe_off(spark):
+        nbrs = _packed_weighted(sym, n_part).localCheckpoint(eager=True)
+        state = (
+            nbrs.select(F.col("v").alias("id"))
+            .distinct()
+            .select("id", F.lit(3).cast("long").alias("dist"))
+            .repartition(n_part, "id")
+            .localCheckpoint(eager=True)
+        )
+    n = 200_000
+    frontier = state
+    cands = (
+        nbrs.join(maybe_broadcast(frontier, n), nbrs["v"] == frontier["id"])
+        .select(F.explode("nbs").alias("e"), F.col("dist").alias("d0"))
+        .select(
+            F.col("e.nb").alias("id"), (F.col("d0") + F.col("e.w")).alias("cand")
+        )
+        .groupBy("id")
+        .agg(F.min("cand").alias("cand"))
+    )
+    new_state = state.join(maybe_broadcast(cands, n), "id", "full_outer").select(
+        "id", F.least("dist", F.coalesce("cand", "dist")).alias("dist")
+    )
+    with aqe_off(spark):
+        plan = _executed_plan(new_state)
+    exchanges = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges

@@ -55,6 +55,29 @@ def synthesize_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPO_TABLE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_repo_table(spark: SparkSession, table: str) -> DataFrame:
+    """Production ingest: read the repo table from the session catalog
+    by name — `spark.read.table("iceberg_cat.db.repos")` once the
+    Iceberg (or any V2) catalog is configured via
+    ``spark.sql.catalog.*``; snapshot/time-travel selection rides the
+    normal table options. Works identically against the sandbox's
+    temp views, so tests exercise this exact path. Enforces the
+    input_hint schema contract and prunes to it (column pruning
+    reaches the scan — the 100 TB ``content`` column is read only
+    because downstream hashes it)."""
+    df = spark.read.table(table)
+    missing = set(REPO_TABLE_COLUMNS) - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"repo table {table!r} is missing required columns "
+            f"{sorted(missing)} (need {REPO_TABLE_COLUMNS})"
+        )
+    return df.select(*REPO_TABLE_COLUMNS)
+
+
 def ingest_repo_table(repo_table: DataFrame) -> DataFrame:
     """Ingest pass: records sha256(content) per row (input_hint invariant)
     and extracts the numeric file id from the path.

@@ -119,3 +119,25 @@ def test_edge_build_matches_duckdb_oracle(spark):
         (int(a), int(b), int(c)) for a, b, c in want
     ]
     assert len(got) > 100
+
+
+def test_read_repo_table_catalog_path(spark):
+    from distributed_graph_analytics_spark.sources.repo_table import (
+        edges_from_repo_table,
+        read_repo_table,
+        synthesize_repo_table,
+    )
+
+    synthesize_repo_table(spark, "/root/testdata/sf0.001").createOrReplaceTempView(
+        "repos_view"
+    )
+    df = read_repo_table(spark, "repos_view")
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    # the catalog path feeds the same edge builder
+    assert edges_from_repo_table(df).count() > 0
+
+    spark.createDataFrame([(1,)], ["x"]).createOrReplaceTempView("bad_view")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing required columns"):
+        read_repo_table(spark, "bad_view")

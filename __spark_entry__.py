@@ -1328,6 +1328,45 @@ JOIN iv ON iv.user_id = e.user_id
 """
 
 
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sliding-window rollup: 2-hour windows sliding by 1 hour — every
+    # event lands in exactly 2 windows (native F.window duplication,
+    # JVM-side; the oracle mirrors with a 2-row unnest per event)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_SLIDING_ORACLE_SQL = """
+WITH w AS (
+    SELECT date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start,
+           event_type, value
+    FROM events, unnest([0, 1]) AS u(k)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM w
+GROUP BY 1, 2
+"""
+
+
 def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-granularity rollup (native Spark ROLLUP -> Catalyst Expand):
     # per (day, event_type), per day, and grand total in ONE pass —
@@ -1787,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_in_sessions": _q_events_in_sessions,
         "events_cube": _q_events_cube,
+        "events_sliding": _q_events_sliding,
     }
 
 
@@ -1864,6 +1904,7 @@ HAVING COUNT(*) > 1
             gap=_GAP_US
         ),
         "events_cube": _EVENTS_CUBE_ORACLE_SQL,
+        "events_sliding": _EVENTS_SLIDING_ORACLE_SQL,
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

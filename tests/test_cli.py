@@ -100,3 +100,34 @@ def test_cli_new_analytics_dispatch(spark, tmp_path):
     )
     assert run(args, spark) == 0
     assert spark.read.parquet(out4).count() > 0
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    import subprocess
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from make_pyfiles_zip import build
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "dga.zip")
+    names = build(out)
+    assert any(n.endswith("cli.py") for n in names)
+    assert all(n.endswith(".py") for n in names)
+    with zipfile.ZipFile(out) as zf:
+        assert "distributed_graph_analytics_spark/cli.py" in zf.namelist()
+    # the archive alone must satisfy the package import (spark-submit
+    # --py-files semantics: zip root on sys.path)
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import distributed_graph_analytics_spark.cli as c; "
+        "print(len(c.ANALYTICS))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code, out],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert int(r.stdout.strip()) >= 13

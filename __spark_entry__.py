@@ -1114,8 +1114,10 @@ SELECT COUNT(*)::BIGINT AS n_vertices,
        MAX(deg)::BIGINT AS max_degree,
        (SUM(deg * (deg - 1)) / 2)::BIGINT AS wedges,
        (SELECT t FROM tri) AS triangles,
-       round(3.0 * (SELECT t FROM tri) / (SUM(deg * (deg - 1)) / 2), 6)
-         AS global_clustering
+       CASE WHEN SUM(deg * (deg - 1)) > 0
+            THEN round(3.0 * (SELECT t FROM tri)
+                       / (SUM(deg * (deg - 1)) / 2), 6)
+            END AS global_clustering
 FROM degv
 """
 )

@@ -48,7 +48,8 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         "max_degree",
         "wedges",
         "triangles",
-        F.round(F.lit(3.0) * F.col("triangles") / F.col("wedges"), 6).alias(
-            "global_clustering"
-        ),
+        F.when(
+            F.col("wedges") > 0,
+            F.round(F.lit(3.0) * F.col("triangles") / F.col("wedges"), 6),
+        ).alias("global_clustering"),  # NULL when no wedges (undefined)
     )

@@ -59,3 +59,13 @@ def test_graph_summary_fixture(spark):
     assert r["triangles"] == 1
     assert abs(r["global_clustering"] - 0.6) < 1e-9
     assert abs(r["avg_degree"] - 2.0) < 1e-9
+
+
+def test_graph_summary_degenerate_inputs(spark):
+    from distributed_graph_analytics_spark.operators.stats import graph_summary
+
+    # single edge: 0 wedges -> clustering undefined (NULL), no crash
+    single = spark.createDataFrame([(1, 2, 1)], "src long, dst long, weight long")
+    r = graph_summary(single).collect()[0]
+    assert r["n_vertices"] == 2 and r["wedges"] == 0
+    assert r["global_clustering"] is None

@@ -1369,6 +1369,42 @@ GROUP BY 1, 2
 """
 
 
+def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-day top-3 users by event count — windowed top-K with a
+    # deterministic tiebreak (user id desc); WindowGroupLimit pushes
+    # the rank filter below the sort at scale
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("day").orderBy(
+        F.desc("n_events"), F.desc("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("day", "rank", "user_id", "n_events")
+    )
+
+
+_EVENTS_TOP_USERS_ORACLE_SQL = """
+WITH per_user AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           user_id, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT day, user_id, n_events,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY n_events DESC, user_id DESC) AS rank
+    FROM per_user
+)
+SELECT day, rank, user_id, n_events FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-granularity rollup (native Spark ROLLUP -> Catalyst Expand):
     # per (day, event_type), per day, and grand total in ONE pass —
@@ -1829,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_sessions": _q_events_in_sessions,
         "events_cube": _q_events_cube,
         "events_sliding": _q_events_sliding,
+        "events_top_users": _q_events_top_users,
     }
 
 
@@ -1907,6 +1944,7 @@ HAVING COUNT(*) > 1
         ),
         "events_cube": _EVENTS_CUBE_ORACLE_SQL,
         "events_sliding": _EVENTS_SLIDING_ORACLE_SQL,
+        "events_top_users": _EVENTS_TOP_USERS_ORACLE_SQL,
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -66,3 +66,26 @@ def test_pagerank_resumes_mid_convergence(spark, tmp_path):
     assert stats2.iterations > 4  # continued from the checkpointed iteration
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_kcore_resumes_mid_convergence(spark, tmp_path):
+    from distributed_graph_analytics_spark.operators.kcore import core_numbers
+
+    # a path: degree-2 interior but core 1 — the correction sweeps in
+    # from the endpoints one hop per round, so convergence takes ~n/2
+    # rounds and a 1-round checkpoint genuinely resumes mid-flight
+    path = [(i, i + 1) for i in range(1, 12)]
+    edges = edges_df(spark, path)
+    full, full_stats = core_numbers(edges)
+    want = {(r["id"], r["core"]) for r in full.collect()}
+    assert full_stats.iterations > 2
+
+    mgr = CheckpointManager(spark, str(tmp_path))
+    _, s1 = core_numbers(
+        edges, max_iterations=1, checkpoint_manager=mgr, checkpoint_every=1
+    )
+    assert s1.iterations == 1
+    resumed, s2 = core_numbers(
+        edges, checkpoint_manager=mgr, checkpoint_every=1
+    )
+    assert {(r["id"], r["core"]) for r in resumed.collect()} == want

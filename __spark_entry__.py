@@ -1369,6 +1369,68 @@ GROUP BY 1, 2
 """
 
 
+def _q_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII redaction (functions/text.py::scrub_pii). The synthetic docs
+    # carry no natural PII, so the query seeds deterministic spans on
+    # doc_id % 5 == 0 — the oracle seeds identically. The cleaned text
+    # is compared via sha256 (not raw text) to keep rows narrow.
+    from distributed_graph_analytics_spark.functions.text import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or +1-555-123-4567 at 192.168.0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    s = scrub_pii(F.col("text"))
+    return seeded.select("doc_id", s.alias("_s")).select(
+        "doc_id",
+        F.sha2(F.col("_s.clean"), 256).alias("clean_sha256"),
+        F.col("_s.n_email"),
+        F.col("_s.n_phone"),
+        F.col("_s.n_ipv4"),
+    )
+
+
+_DOC_SCRUB_ORACLE_SQL = r"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || doc_id ||
+                     '@example.com or +1-555-123-4567 at 192.168.0.1'
+                ELSE text END AS text
+    FROM documents
+), pats AS (
+    SELECT doc_id, text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS p_email,
+           '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}' AS p_phone,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b' AS p_ipv4
+    FROM seeded
+)
+SELECT doc_id,
+       sha256(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, p_email, '<EMAIL>', 'g'),
+                   p_phone, '<PHONE>', 'g'),
+               p_ipv4, '<IPV4>', 'g')
+       ) AS clean_sha256,
+       len(regexp_extract_all(text, p_email)) AS n_email,
+       len(regexp_extract_all(text, p_phone)) AS n_phone,
+       len(regexp_extract_all(text, p_ipv4)) AS n_ipv4
+FROM pats
+"""
+
+
 def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-day top-3 users by event count — windowed top-K with a
     # deterministic tiebreak (user id desc); WindowGroupLimit pushes
@@ -1866,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "events_sliding": _q_events_sliding,
         "events_top_users": _q_events_top_users,
+        "doc_scrub": _q_doc_scrub,
     }
 
 
@@ -1945,6 +2008,7 @@ HAVING COUNT(*) > 1
         "events_cube": _EVENTS_CUBE_ORACLE_SQL,
         "events_sliding": _EVENTS_SLIDING_ORACLE_SQL,
         "events_top_users": _EVENTS_TOP_USERS_ORACLE_SQL,
+        "doc_scrub": _DOC_SCRUB_ORACLE_SQL,
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -93,6 +93,37 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     )
 
 
+#: PII patterns scrubbed before training: emails, international-ish
+#: phone numbers, IPv4s. Deliberately conservative/high-precision —
+#: the standard first-pass redaction for web corpora.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact PII spans to ``<TYPE>`` tokens, returning a struct
+    (clean TEXT, n_email, n_phone, n_ipv4). Counts come from
+    regexp_count before replacement; everything is JVM regex at scan
+    speed (order matters: emails first so phone/ip patterns can't eat
+    their digits)."""
+    counts = {
+        k: F.size(F.regexp_extract_all(text, F.lit(p), 0))
+        for k, p in PII_PATTERNS.items()
+    }
+    clean = text
+    for k, p in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, p, f"<{k.upper()}>")
+    return F.struct(
+        clean.alias("clean"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+    )
+
+
 def fingerprint_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint per document: xxhash64 of the
     whitespace-normalized lowercased text (stable across partitioning),

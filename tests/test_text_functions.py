@@ -79,3 +79,28 @@ def test_repetition_ratio(spark):
     assert abs(got[2] - (1 - 3 / 7)) < 1e-6
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_scrub_pii(spark):
+    from distributed_graph_analytics_spark.functions.text import scrub_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "reach me at a.b@x.io or +1-555-123-4567, server 10.0.0.1"),
+        (2, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", scrub_pii(F.col("text")).alias("s"))
+        .select("doc_id", "s.*")
+        .collect()
+    }
+    assert got[1]["n_email"] == 1
+    assert got[1]["n_phone"] == 1
+    assert got[1]["n_ipv4"] == 1
+    assert "<EMAIL>" in got[1]["clean"]
+    assert "a.b@x.io" not in got[1]["clean"]
+    assert "555" not in got[1]["clean"]
+    assert got[2]["clean"] == "no pii here"
+    assert got[2]["n_email"] == got[2]["n_phone"] == got[2]["n_ipv4"] == 0

@@ -1431,6 +1431,52 @@ FROM pats
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-duplicate CLUSTERS: WCC over the verified near-dup pair
+    # graph (functions/pipeline.py::duplicate_clusters) — the graph
+    # engine composed into the data pipeline. Max-label WCC is integer
+    # and idempotent at the fixed point, so the 6-round oracle unroll
+    # is exact while dup-cluster diameters stay <= 6 (pytest-pinned at
+    # the tested sf; clusters here are 2-3 docs).
+    from distributed_graph_analytics_spark.functions.pipeline import (
+        duplicate_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_clusters(docs, hash_family="sha2")
+
+
+def _dedup_clusters_oracle_sql(rounds: int = 6) -> str:
+    pairs_sql = _ngram_jaccard_oracle_sql(k=8, threshold=0.8, lsh=(5, 16, 8))
+    ctes = [
+        f"""p AS MATERIALIZED ({pairs_sql}
+), e2 AS MATERIALIZED (
+    SELECT doc_a AS u, doc_b AS v FROM p
+    UNION ALL
+    SELECT doc_b, doc_a FROM p
+), l0 AS MATERIALIZED (
+    SELECT DISTINCT u AS id, u AS comp FROM e2
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT v.id, greatest(v.comp, coalesce(m.cand, v.comp)) AS comp
+  FROM l{k - 1} v
+  LEFT JOIN (
+      SELECT e2.u AS id, max(l.comp) AS cand
+      FROM e2 JOIN l{k - 1} l ON l.id = e2.v
+      GROUP BY e2.u
+  ) m ON m.id = v.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, comp AS cluster FROM l{rounds}"
+    )
+
+
 def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-day top-3 users by event count — windowed top-K with a
     # deterministic tiebreak (user id desc); WindowGroupLimit pushes
@@ -1929,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_events_sliding,
         "events_top_users": _q_events_top_users,
         "doc_scrub": _q_doc_scrub,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -2009,6 +2056,7 @@ HAVING COUNT(*) > 1
         "events_sliding": _EVENTS_SLIDING_ORACLE_SQL,
         "events_top_users": _EVENTS_TOP_USERS_ORACLE_SQL,
         "doc_scrub": _DOC_SCRUB_ORACLE_SQL,
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "louvain_move_fixed4": _louvain_fixed_cycles_sql(4),
         "louvain_q0": _louvain_q0_sql(4),
         "hbse": _hbse_unrolled_sql(sssp_rounds=14, dep_rounds=14, n_pivots=64),

@@ -143,6 +143,38 @@ def stratified_sample(
     return df.where(bucket < thresh)
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_k: int = 8,
+    jaccard_threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph (MinHash-LSH candidates → exact Jaccard →
+    WCC). Pairwise dedup under-reports transitive duplicates (A~B,
+    B~C but A!~C); the cluster view is what a real pipeline keeps one
+    canonical document per. Returns (doc_id, cluster) for documents in
+    a cluster of size >= 2, cluster = the max doc_id member (WCC
+    max-label semantics — one engine, both sides of the house)."""
+    from distributed_graph_analytics_spark.operators.wcc import (
+        weakly_connected_components,
+    )
+
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, candidates=cands, k=jaccard_k, threshold=jaccard_threshold
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp, _stats = weakly_connected_components(edges, edges_canonical=True)
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster"))
+
+
 def clean_corpus(docs: DataFrame, **kwargs) -> DataFrame:
     """The surviving corpus: input docs whose disposition is 'kept'
     (left-semi join back to the full rows, so downstream stages keep

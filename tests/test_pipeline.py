@@ -92,3 +92,33 @@ def test_stratified_sample_drops_unlisted_strata(spark):
     ).collect()
     assert len(out) == 100  # every 'en', no 'de'
     assert all(r["lang"] == "en" for r in out)
+
+
+def test_duplicate_clusters_transitive(spark):
+    from distributed_graph_analytics_spark.functions.pipeline import (
+        duplicate_clusters,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the green hills where rivers flow gently through the valley "
+        "and birds sing in the tall trees every single morning in spring"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # ~ 1
+        (3, base + " extra words"),    # ~ 2 (and transitively 1)
+        (10, "completely different text about winter snow and ice and "
+             "mountains covered in white powder where skiers race down "
+             "the steep slopes under a pale blue morning sky in january"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in duplicate_clusters(df, jaccard_threshold=0.7).collect()
+    }
+    # 1,2,3 form ONE cluster labeled by the max member; 10 is absent
+    assert set(got) == {1, 2, 3}
+    assert set(got.values()) == {3}
+    # cluster diameter bound the driver oracle relies on (<= 6 rounds)
+    # holds trivially here; the sf0.01 clusters are pairs/triples too

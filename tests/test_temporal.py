@@ -56,3 +56,47 @@ def test_interval_join_buckets_and_bounds(spark):
     }
     assert got == {(100, 77), (101, 88), (102, 88)}
     # user 2's point matches nothing (no intervals for that key)
+
+
+def _exchanges(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of plan promise: ONE exchange (hash by the key), however
+    far back matches reach — never an inequality join."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.where("event_type='click'").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+    )
+    purch = ev.where("event_type='purchase'").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "value",
+    )
+    out = asof_join(
+        clicks, purch, on="ts_us", right_cols=("event_id", "value"),
+        tiebreak="event_id",
+    )
+    ex = _exchanges(out)
+    assert len(ex) == 1 and "user_id" in ex[0], ex
+
+
+def test_sessionize_single_exchange(spark):
+    from distributed_graph_analytics_spark.streaming.sessions import (
+        batch_sessionize,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ex = _exchanges(batch_sessionize(ev))
+    assert len(ex) == 1 and "user_id" in ex[0], ex

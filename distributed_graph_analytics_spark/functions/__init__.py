@@ -15,3 +15,18 @@ from distributed_graph_analytics_spark.functions.similarity import (  # noqa: F4
     embedding_near_duplicates,
     lsh_bucketed_cosine_topk,
 )
+from distributed_graph_analytics_spark.functions.text import (  # noqa: F401
+    repetition_ratio,
+    scrub_pii,
+)
+from distributed_graph_analytics_spark.functions.similarity import (  # noqa: F401
+    embedding_centroids,
+    ivf_cosine_topk,
+)
+from distributed_graph_analytics_spark.functions.pipeline import (  # noqa: F401
+    clean_corpus,
+    corpus_disposition,
+    deterministic_sample,
+    duplicate_clusters,
+    stratified_sample,
+)

@@ -22,3 +22,18 @@ from distributed_graph_analytics_spark.operators.hbse import (  # noqa: F401
 from distributed_graph_analytics_spark.operators.neighboring_communities import (  # noqa: F401
     neighboring_communities,
 )
+from distributed_graph_analytics_spark.operators.kcore import core_numbers  # noqa: F401
+from distributed_graph_analytics_spark.operators.pagerank import (  # noqa: F401
+    pagerank_delta_push,
+    personalized_pagerank,
+)
+from distributed_graph_analytics_spark.operators.sssp import sssp  # noqa: F401
+from distributed_graph_analytics_spark.operators.walks import random_walks  # noqa: F401
+from distributed_graph_analytics_spark.operators.link_prediction import (  # noqa: F401
+    common_neighbor_scores,
+)
+from distributed_graph_analytics_spark.operators.stats import graph_summary  # noqa: F401
+from distributed_graph_analytics_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    interval_join,
+)

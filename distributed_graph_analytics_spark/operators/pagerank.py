@@ -57,7 +57,9 @@ def _chunked(arr_col: str) -> Column:
     )
 
 
-def build_out_adjacency(edges: DataFrame, n_part: int) -> DataFrame:
+def build_out_adjacency(
+    edges: DataFrame, n_part: int, compact_ids: bool = False
+) -> DataFrame:
     """Chunked CSR-style out-adjacency: (src, dsts ARRAY<LONG>, inv_deg).
 
     The hash(src) layout pin lives on the cheap FLAT (src,dst) rows: the
@@ -86,10 +88,18 @@ def build_out_adjacency(edges: DataFrame, n_part: int) -> DataFrame:
     sendMessageToAllEdges, PageRankComputation.java:51-81) and falls
     out of the packed array size — no degree join at all.
     """
+    # compact_ids: pack neighbor ids as INT (caller asserts ids fit in
+    # 31 bits — true for every tested scale incl. the x64 replicate's
+    # 640M ceiling). Halves the array payload of the pack buffers, the
+    # localCheckpoint copy and every superstep's adjacency scan — the
+    # DRAM-bandwidth-bound share of the build (BENCH/BASELINE.md).
+    # Key columns stay LONG, so partitioning/join invariants and the
+    # public (id LONG) contract are untouched; explode sites cast back.
+    dst_col = F.col("dst").cast("int") if compact_ids else F.col("dst")
     e_parted = edges.select("src", "dst").repartition(n_part, "src")
     return (
         e_parted.groupBy("src")
-        .agg(F.collect_list("dst").alias("all_dsts"))
+        .agg(F.collect_list(dst_col).alias("all_dsts"))
         .select(
             "src",
             F.explode(_chunked("all_dsts")).alias("dsts"),
@@ -106,8 +116,10 @@ def pagerank(
     checkpoint_manager=None,
     checkpoint_every: int = 10,
     num_partitions: int | None = None,
+    compact_ids: bool = False,
 ) -> tuple[DataFrame, IterationStats]:
-    """Returns (ranks(id LONG, rank DOUBLE), stats)."""
+    """Returns (ranks(id LONG, rank DOUBLE), stats). ``compact_ids``
+    packs adjacency arrays as int (caller asserts ids < 2^31)."""
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -118,7 +130,7 @@ def pagerank(
     # this shrinks the per-superstep cache scan ~3x (one row + one
     # packed array per source instead of out_deg rows) and the state
     # join probes |V|-ish rows instead of |E|.
-    adj = build_out_adjacency(edges, n_part)
+    adj = build_out_adjacency(edges, n_part, compact_ids=compact_ids)
     # materialize via localCheckpoint, not persist: RDD blocks hold raw
     # UnsafeRows, skipping the InMemoryRelation columnar encode on write
     # AND the per-superstep columnar decode of the packed arrays
@@ -157,9 +169,10 @@ def pagerank(
         contribs = (
             adj.join(bstate, adj["src"] == bstate["id"])
             .select(
-                F.explode("dsts").alias("id"),
+                F.explode("dsts").alias("_nb"),
                 (F.col("rank") * F.col("inv_deg")).alias("c"),
             )
+            .select(F.col("_nb").cast("long").alias("id"), "c")
             .groupBy("id")
             .agg(F.sum("c").alias("msg_sum"))
         )

@@ -39,7 +39,10 @@ from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcas
 
 
 def build_sym_adjacency(
-    edges: DataFrame, n_part: int, edges_canonical: bool = False
+    edges: DataFrame,
+    n_part: int,
+    edges_canonical: bool = False,
+    compact_ids: bool = False,
 ) -> DataFrame:
     """Symmetric packed adjacency keyed by the sender: (v, us ARRAY<LONG>).
 
@@ -56,10 +59,15 @@ def build_sym_adjacency(
     )
     if not edges_canonical:
         sym = sym.distinct()
+    # compact_ids: int neighbor arrays (caller asserts ids < 2^31) —
+    # halves the pack-buffer/checkpoint/scan payload; the key column v
+    # stays LONG so every layout invariant holds (see
+    # pagerank.build_out_adjacency)
+    u_col = F.col("u").cast("int") if compact_ids else F.col("u")
     return (
         sym.repartition(n_part, "v")
         .groupBy("v")
-        .agg(F.collect_list("u").alias("all_us"))
+        .agg(F.collect_list(u_col).alias("all_us"))
         .select("v", F.explode(_chunked("all_us")).alias("us"))
     )
 
@@ -71,6 +79,7 @@ def weakly_connected_components(
     checkpoint_every: int = 10,
     num_partitions: int | None = None,
     edges_canonical: bool = False,
+    compact_ids: bool = False,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (components(id LONG, component LONG), stats).
 
@@ -92,7 +101,9 @@ def weakly_connected_components(
     # instead of 2|E| flat rows, and the cache scan shrinks ~3x.
     # Materialized via localCheckpoint: raw UnsafeRows, no columnar
     # encode/decode of the arrays (see pagerank.py for the measurement).
-    nbrs = build_sym_adjacency(edges, n_part, edges_canonical=edges_canonical)
+    nbrs = build_sym_adjacency(
+        edges, n_part, edges_canonical=edges_canonical, compact_ids=compact_ids
+    )
     # aqe_off: keep the concrete hash(v) partitioning in the LogicalRDD
     # (see plans.iteration.aqe_off and pagerank.py)
     # hash_agg_pack: keep the collect_list pack hash-based (the 128-key
@@ -121,7 +132,11 @@ def weakly_connected_components(
         # from the known vertex count (state is a stats-less LogicalRDD)
         msgs = (
             nbrs.join(maybe_broadcast(frontier, n), nbrs["v"] == frontier["id"])
-            .select(F.explode("us").alias("id"), F.col("component").alias("cand"))
+            .select(
+                F.explode("us").alias("_nb"),
+                F.col("component").alias("cand"),
+            )
+            .select(F.col("_nb").cast("long").alias("id"), "cand")
             .groupBy("id")
             .agg(F.max("cand").alias("cand"))
         )

@@ -114,19 +114,22 @@ WITH repo_table AS (
 """
 
 
-def _wcc_unrolled_sql(rounds: int) -> str:
-    """Max-label propagation unrolled to a fixed round count — exact
-    fixed point provided the graph diameter ≤ rounds (asserted by the
-    run-to-convergence pytest path)."""
+def _wcc_unrolled_sql(rounds: int, min_label: bool = False) -> str:
+    """Label propagation unrolled to a fixed round count — exact fixed
+    point provided the graph diameter ≤ rounds (asserted by the
+    run-to-convergence pytest path). ``min_label=True`` is the GraphX
+    ``connectedComponents()`` twin (operators/wcc.py min_label):
+    LEAST/MIN instead of GREATEST/MAX."""
+    pick, merge = ("least", "min") if min_label else ("greatest", "max")
     ctes = ["l0 AS (SELECT id, id AS comp FROM vertices)"]
     for k in range(1, rounds + 1):
         ctes.append(
             f"""l{k} AS MATERIALIZED (
   SELECT v.id,
-         greatest(v.comp, coalesce(m.cand, v.comp)) AS comp
+         {pick}(v.comp, coalesce(m.cand, v.comp)) AS comp
   FROM l{k - 1} v
   LEFT JOIN (
-      SELECT e.u AS id, max(l.comp) AS cand
+      SELECT e.u AS id, {merge}(l.comp) AS cand
       FROM sym e JOIN l{k - 1} l ON l.id = e.v
       GROUP BY e.u
   ) m ON m.id = v.id
@@ -817,6 +820,16 @@ def _q_out_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp, _ = weakly_connected_components(load_edges(spark, sf_dir))
+    return comp.select("id", "component")
+
+
+def _q_wcc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the GraphX built-in connectedComponents() semantics (reference
+    # wccGraphX dispatch, DGARunner.scala:96-117): components labeled
+    # by the LOWEST vertex id — operators/wcc.py min_label=True
+    comp, _ = weakly_connected_components(
+        load_edges(spark, sf_dir), min_label=True
+    )
     return comp.select("id", "component")
 
 
@@ -1644,6 +1657,11 @@ w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM vertices)"""
 
 
 _LP_MIN_COMMON = 16
+#: the operator's default hub stop-word cut, passed explicitly so the
+#: oracle SQL below enumerates exactly the same wedge set (no testdata
+#: vertex reaches this degree at sf<=0.1, so the cut is exercised as a
+#: no-op here and as a real cut by tests/test_link_prediction.py)
+_LP_MAX_APEX = 10_000
 
 
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,7 +1674,9 @@ def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scores = common_neighbor_scores(
-        load_edges(spark, sf_dir), min_common=_LP_MIN_COMMON
+        load_edges(spark, sf_dir),
+        min_common=_LP_MIN_COMMON,
+        max_apex_degree=_LP_MAX_APEX,
     )
     return scores.select(
         "u",
@@ -1667,10 +1687,12 @@ def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _link_prediction_oracle_sql(min_common: int) -> str:
-    """Wedge-enumeration twin: pairs of an apex's neighbors, grouped on
-    the pair, Adamic-Adar from the apex degree, anti-join against the
-    canonical edge list, Jaccard from endpoint degrees."""
+def _link_prediction_oracle_sql(min_common: int, max_apex: int) -> str:
+    """Wedge-enumeration twin: pairs of an apex's neighbors (apex
+    degree <= max_apex, the operator's default stop-word cut), grouped
+    on the pair, Adamic-Adar from the apex degree, anti-join against
+    the canonical edge list, Jaccard from GLOBAL endpoint degrees
+    (matching the operator's documented cut semantics)."""
     return (
         _EDGES_CTE
         + f""", degv AS MATERIALIZED (
@@ -1680,7 +1702,7 @@ def _link_prediction_oracle_sql(min_common: int) -> str:
            SUM(1.0 / ln(d.deg)) AS aa
     FROM sym s1
     JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
-    JOIN degv d ON d.x = s1.u
+    JOIN degv d ON d.x = s1.u AND d.deg <= {max_apex}
     GROUP BY 1, 2
     HAVING COUNT(*) >= {min_common}
 ), cand AS (
@@ -1759,12 +1781,21 @@ p0 AS MATERIALIZED (SELECT id, sd AS rank FROM seed)"""
     )
 
 
+#: kcore oracle unroll bound: convergence is scale-dependent (measured
+#: 10 rounds at sf0.001, 19 at sf0.01, 38 at sf0.1), and the h-operator
+#: is idempotent at the fixed point, so an unroll >= the convergence
+#: round count is EXACT. 48 covers every generated testdata scale
+#: (sf0.1 included) with margin, so the oracle stays correct if the
+#: driver's grading sf ever changes.
+_KCORE_ROUNDS = 48
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-core decomposition to convergence (operators/kcore.py, h-index
-    # propagation). Estimates are INTEGER and the update is idempotent
-    # at the fixed point, so the 20-round unrolled oracle is exact at
-    # any sf whose convergence takes <= 20 rounds (measured: 10 at
-    # sf0.001, 19 at sf0.01; bound pinned by tests/test_kcore.py) —
+    # propagation with a changed-neighbor frontier). Estimates are
+    # INTEGER and the update is idempotent at the fixed point, so the
+    # _KCORE_ROUNDS-round unrolled oracle is exact at any sf whose
+    # convergence fits the bound (pinned by tests/test_kcore.py) —
     # no measured-halt fragility like the float kernels.
     from distributed_graph_analytics_spark.operators.kcore import core_numbers
 
@@ -1933,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_degree": _q_weighted_degree,
         "out_degree": _q_out_degree,
         "wcc": _q_wcc,
+        "wcc_min_label": _q_wcc_min_label,
         "pagerank_fixed10": _q_pagerank_fixed,
         "pagerank": _q_pagerank_converged,
         "pagerank_delta_push": _q_pagerank_delta_push,
@@ -1994,6 +2026,7 @@ GROUP BY id
 """,
         "out_degree": _EDGES_CTE + "SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src",
         "wcc": _wcc_unrolled_sql(_WCC_ROUNDS),
+        "wcc_min_label": _wcc_unrolled_sql(_WCC_ROUNDS, min_label=True),
         "pagerank_fixed10": _pagerank_unrolled_sql(_PR_FIXED_ITERS),
         "pagerank_delta_push": _delta_push_unrolled_sql(rounds=24, eps=1e-6),
         "leaf_compression": _leaf_compression_unrolled_sql(_LC_ROUNDS),
@@ -2039,9 +2072,11 @@ HAVING COUNT(*) > 1
             k=8, threshold=0.8, lsh=(5, 16, 8)
         ),
         "corpus_clean": _corpus_clean_oracle_sql(),
-        "kcore": _kcore_unrolled_sql(20),
+        "kcore": _kcore_unrolled_sql(_KCORE_ROUNDS),
         "ppr_fixed10": _ppr_unrolled_sql(_PPR_ITERS, _PPR_SOURCES),
-        "link_prediction": _link_prediction_oracle_sql(_LP_MIN_COMMON),
+        "link_prediction": _link_prediction_oracle_sql(
+            _LP_MIN_COMMON, _LP_MAX_APEX
+        ),
         "random_walks": _walks_unrolled_sql(_WALK_LEN, _WALK_SEED),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),

@@ -26,6 +26,10 @@ ANALYTICS = (
     "wcc", "pr", "lc", "louvain", "lpa", "hbse", "triangles",
     "neighboringCommunities", "kcore", "sssp", "linkPrediction",
     "randomWalks", "graphStats",
+    # the reference's GraphX built-in variants (DGARunner.scala:96-117):
+    # wccGraphX = Graph.connectedComponents() min-label semantics,
+    # prGraphX = Pregel delta-push PageRank
+    "wccGraphX", "prGraphX",
 )
 
 
@@ -63,8 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sssp source vertex (default: smallest id)")
     p.add_argument("--min-common", type=int, default=2,
                    help="linkPrediction common-neighbor threshold")
-    p.add_argument("--max-apex-degree", type=int, default=None,
-                   help="linkPrediction hub stop-word cut")
+    p.add_argument("--max-apex-degree", type=int, default=10_000,
+                   help="linkPrediction hub stop-word cut (0 disables "
+                   "and enumerates every wedge)")
     p.add_argument("--walk-length", type=int, default=4)
     p.add_argument("--pivot-batch-size", type=int, default=None)
     p.add_argument("--max-iterations", type=int, default=200)
@@ -202,6 +207,19 @@ def dispatch(args, edges, ckpt):
         return edges.join(
             comp.withColumnRenamed("id", "src"), "src"
         ).select("src", "dst", "component")
+    if a == "wccGraphX":
+        # GraphX built-in connectedComponents(): min-label propagation
+        # (WeaklyConnectionComponentsCore.scala:27-29 dispatches to it)
+        from distributed_graph_analytics_spark.operators.wcc import (
+            weakly_connected_components,
+        )
+
+        comp, _ = weakly_connected_components(
+            edges, args.max_iterations, checkpoint_manager=ckpt, min_label=True
+        )
+        return edges.join(
+            comp.withColumnRenamed("id", "src"), "src"
+        ).select("src", "dst", "component")
     if a == "pr":
         from distributed_graph_analytics_spark.operators.pagerank import pagerank
 
@@ -210,6 +228,17 @@ def dispatch(args, edges, ckpt):
             checkpoint_manager=ckpt,
         )
         return ranks  # sink S8
+    if a == "prGraphX":
+        # GraphX Pregel delta-push PageRank (PageRankCore.scala:33-72):
+        # un-normalized fixed point, senders gated on delta > args.delta
+        from distributed_graph_analytics_spark.operators.pagerank import (
+            pagerank_delta_push,
+        )
+
+        ranks, _ = pagerank_delta_push(
+            edges, delta=args.delta, damping=args.damping
+        )
+        return ranks
     if a == "lc":
         from distributed_graph_analytics_spark.operators.leaf_compression import (
             leaf_compression,
@@ -284,7 +313,8 @@ def dispatch(args, edges, ckpt):
 
         return common_neighbor_scores(
             edges, min_common=args.min_common,
-            max_apex_degree=args.max_apex_degree,
+            max_apex_degree=args.max_apex_degree
+            if args.max_apex_degree > 0 else None,
         )
     if a == "randomWalks":
         from distributed_graph_analytics_spark.operators.walks import random_walks

@@ -2,11 +2,11 @@
 
 The Spark-side plumbing is real — schema, partition-friendly batch
 iteration, Arrow-batched mapInPandas UDFs with bounded batch sizes —
-while the actual codec work is STUBBED (this container ships no
-image/audio libraries): `decode_image` raises NotImplementedError
-unless `fake=True`, in which case a deterministic fake decoder (derived
-from the bytes' sha256) stands in so the pipeline shape is testable
-end-to-end.
+and the codec work is import-gated: `decode_image`/`resize_image` use
+Pillow when it is importable, raise NotImplementedError when it is not
+(this container ships no image libraries), and always accept
+`fake=True` for a deterministic stand-in (derived from the bytes'
+sha256) so the pipeline shape is testable end-to-end anywhere.
 
 At 100 TB the pattern is: keep binaries in their own column (parquet
 keeps them out of unrelated scans via column pruning), set
@@ -79,17 +79,46 @@ def synthesize_media_table(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _pil():
+    """Import-try for Pillow — the container this repo is developed in
+    ships no image codec, so the real decode path is exercised only
+    where the library exists (tests skip without it)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB: real decode requires an image codec library not present in
-    this container. fake=True produces a deterministic 8-dim feature
-    from the payload hash so the distributed plumbing is testable."""
-    if not fake:
+    """Decode an image payload into an 8-dim feature vector.
+
+    Real path (when Pillow is importable): decode, convert to RGB, and
+    emit [width, height, mean_R, mean_G, mean_B, min_lum, max_lum,
+    aspect] — deterministic, codec-backed. Without Pillow the real
+    path raises NotImplementedError (honest gate, not a silent fake).
+    fake=True always produces a deterministic 8-dim feature from the
+    payload hash so the distributed plumbing is testable anywhere."""
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in h[:8]]
+    Image = _pil()
+    if Image is None:
         raise NotImplementedError(
-            "image decoding requires a codec library (e.g. Pillow); "
+            "image decoding requires Pillow (not installed); "
             "run with fake=True for the deterministic stand-in"
         )
-    h = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in h[:8]]
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        w, h = rgb.size
+        px = list(rgb.getdata())
+        n = max(len(px), 1)
+        means = [sum(c[i] for c in px) / n / 255.0 for i in range(3)]
+        lum = [(c[0] + c[1] + c[2]) / 3.0 / 255.0 for c in px] or [0.0]
+        return [float(w), float(h), *means, min(lum), max(lum), w / max(h, 1)]
 
 
 def extract_features(media: DataFrame, fake: bool = True, batch_size: int = 256) -> DataFrame:
@@ -133,18 +162,27 @@ RESIZED_SCHEMA = StructType(
 def resize_image(
     payload: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """STUB: real resizing requires a codec library not present in this
-    container. fake=True emits a deterministic stand-in payload of
-    width*height bytes cycled from the source hash — size-realistic so
-    batch-memory behavior is testable."""
-    if not fake:
+    """Resize an image payload to (width, height), returned as PNG
+    bytes (Pillow path). Without Pillow the real path raises
+    NotImplementedError; fake=True emits a deterministic stand-in
+    payload of width*height bytes cycled from the source hash —
+    size-realistic so batch-memory behavior is testable anywhere."""
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        n = width * height
+        return (h * (n // len(h) + 1))[:n]
+    Image = _pil()
+    if Image is None:
         raise NotImplementedError(
-            "image resizing requires a codec library (e.g. Pillow); "
+            "image resizing requires Pillow (not installed); "
             "run with fake=True for the deterministic stand-in"
         )
-    h = hashlib.sha256(payload).digest()
-    n = width * height
-    return (h * (n // len(h) + 1))[:n]
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        out = io.BytesIO()
+        im.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
 
 
 def resize_images(

@@ -387,15 +387,21 @@ def hbse(
         # collect pre-grouped array rows (~|V| rows), not |E| Row objects:
         # the per-edge structure is built executor-side by collect_list
         # and lands on the driver as one array per source vertex
-        adj = {
-            r["src"]: list(zip(r["dsts"], r["ws"]))
-            for r in dedup.groupBy("src")
-            .agg(
-                F.collect_list("dst").alias("dsts"),
-                F.collect_list("w").alias("ws"),
-            )
-            .collect()
-        }
+        # (hash_agg_pack: keep the pack hash-based past 128 keys — the
+        # session no longer raises the ObjectHashAggregate threshold
+        # globally; this path is already gated <= broadcast_max_edges)
+        from distributed_graph_analytics_spark.plans.iteration import hash_agg_pack
+
+        with hash_agg_pack(spark):
+            adj = {
+                r["src"]: list(zip(r["dsts"], r["ws"]))
+                for r in dedup.groupBy("src")
+                .agg(
+                    F.collect_list("dst").alias("dsts"),
+                    F.collect_list("w").alias("ws"),
+                )
+                .collect()
+            }
         adj_bc = spark.sparkContext.broadcast(adj)
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 

@@ -14,22 +14,32 @@ fixed point is exactly the core number — convergence is a zero-changed
 count, and (unlike the float kernels) the trajectory is bit-exact, so
 a fixed-round SQL unroll is a precise oracle at any scale.
 
-Spark-first plan, same discipline as WCC (operators/wcc.py):
-- one packed symmetric adjacency (CSR-style array rows, hub-split,
-  hash(v)-clustered, localCheckpoint'ed under aqe_off) — no exchange
-  on the packed side, ever;
-- per superstep: one join + explode to deliver neighbor values, a
-  ``row_number`` window partitioned by the receiver (narrow rows —
-  no per-vertex value arrays, hubs don't blow a row), the prefix
-  count = h-index, and the fused materialize/Observation job for the
-  changed metric.
+Spark-first plan, same discipline as WCC (operators/wcc.py) plus two
+scale properties the first cut lacked:
+
+- **frontier** (the Pregel active set): estimates are monotone, so a
+  vertex's h-index can only change if a NEIGHBOR's estimate dropped
+  last superstep. Each round recomputes only the "dirty" receivers
+  (neighbors of changed vertices) by PULLING their full neighborhood
+  values — per-superstep traffic is Σ deg(dirty), which tracks the
+  shrinking frontier instead of a flat 2|E| explode for an iteration
+  count that grows with scale (10 rounds at sf0.001 → 38 at sf0.1);
+- **skew-safe h-index**: neighbor values are capped at the receiver's
+  current estimate (``least(nval, cur)`` — exact: for thresholds
+  t ≤ cur the ≥t counts are unchanged, and H ≥ cur collapses to cur),
+  then histogrammed by ``groupBy(id, capped_value)`` — a map-side
+  combined hash aggregate a hub cannot skew — and the h-index falls
+  out of the distinct-value cumulative counts:
+  ``H = max over values d of min(d, count(values ≥ d))``. No
+  per-receiver ``row_number`` sort over raw message rows, so a
+  10M-degree hub costs one combinable aggregate, not one task sorting
+  10M rows per superstep (the round-2 plan's weak spot).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
 
 from distributed_graph_analytics_spark.operators.wcc import build_sym_adjacency
 from distributed_graph_analytics_spark.plans.iteration import (
@@ -52,7 +62,11 @@ def core_numbers(
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (cores(id LONG, core LONG), stats). ``core`` is the
     vertex's core number; isolated vertices never appear (the edge
-    list defines the vertex set, as in WCC)."""
+    list defines the vertex set, as in WCC).
+
+    ``stats.history[i]["recomputed"]`` records the dirty-receiver count
+    per superstep — the frontier size the round's cost tracks.
+    """
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     nbrs = build_sym_adjacency(edges, n_part, edges_canonical=edges_canonical)
@@ -61,42 +75,79 @@ def core_numbers(
     # degree from the packed rows: size-sum per v — already
     # hash(v)-clustered, the groupBy adds no exchange (hub-split rows
     # re-aggregate here)
-    deg = (
-        nbrs.select("v", F.size("us").alias("d"))
-        .groupBy("v")
-        .agg(F.sum("d").alias("core"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    deg = nbrs.select("v", F.size("us").alias("d")).groupBy("v").agg(
+        F.sum("d").alias("core")
     )
-    n = deg.count()
-    init = deg.select(F.col("v").alias("id"), F.col("core").cast("long"))
+    init = deg.select(
+        F.col("v").alias("id"),
+        F.col("core").cast("long"),
+        F.lit(True).alias("changed"),  # superstep 1 recomputes everyone
+    )
+    n = nbrs.select(F.countDistinct("v")).first()[0]
 
-    w = Window.partitionBy("id").orderBy(F.desc("nval"), F.desc("sender"))
+    # cumulative neighbor count per receiver, walking capped values
+    # descending — input is the (id, value)-collapsed histogram, so the
+    # sort is over distinct values per receiver, not raw messages
+    w_cum = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("cv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        # deliver each vertex's current value to all neighbors
-        msgs = nbrs.join(maybe_broadcast(state, n), nbrs["v"] == state["id"]).select(
-            F.col("v").alias("sender"),
-            F.explode("us").alias("id"),
-            F.col("core").alias("nval"),
+        # frontier: receivers adjacent to a vertex whose estimate
+        # dropped last superstep (state is hash(id)-partitioned and
+        # nbrs hash(v) — the join adds no exchange on either side)
+        changed_senders = state.where("changed").select(F.col("id").alias("v"))
+        dirty = (
+            nbrs.join(maybe_broadcast(changed_senders, n), "v")
+            .select(F.explode("us").alias("id"))
+            .distinct()
         )
-        # h-index: with values sorted descending, positions where
-        # value >= position form a prefix, so the count IS the h-index
+        # pull the FULL neighborhood values of just the dirty receivers,
+        # carrying each receiver's current estimate for the value cap
+        pulls = (
+            dirty.join(state.select("id", F.col("core").alias("cur")), "id")
+            .select(F.col("id").alias("v"), "cur")
+            .join(nbrs, "v")
+            .select(F.col("v").alias("id"), "cur", F.explode("us").alias("u"))
+        )
+        vals = pulls.join(
+            state.select(F.col("id").alias("u"), F.col("core").alias("nval")),
+            "u",
+        )
+        # capped-value histogram: hash aggregate, map-side combined —
+        # a hub's messages collapse to its distinct neighbor values
+        hist = (
+            vals.select("id", F.least("nval", "cur").alias("cv"))
+            .groupBy("id", "cv")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # H = max over distinct values d of min(d, count(values >= d))
         h = (
-            msgs.withColumn("rn", F.row_number().over(w))
-            .where(F.col("nval") >= F.col("rn"))
+            hist.withColumn("cum", F.sum("cnt").over(w_cum))
+            .select("id", F.least("cv", "cum").alias("hc"))
             .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("h"))
+            .agg(F.max("hc").alias("h"))
         )
-        new_state = state.join(maybe_broadcast(h, n), "id").select(
+        new_state = state.join(maybe_broadcast(h, n), "id", "left_outer").select(
             "id",
-            F.least("core", "h").alias("core"),
-            (F.col("h") < F.col("core")).alias("changed"),
+            F.least("core", F.coalesce("h", F.col("core"))).alias("core"),
+            F.coalesce(F.col("h") < F.col("core"), F.lit(False)).alias("changed"),
+            F.col("h").isNotNull().alias("_recomputed"),
         )
         new_state, m = materialize(
             new_state,
-            metrics={"changed": F.sum(F.col("changed").cast("long"))},
+            metrics={
+                "changed": F.sum(F.col("changed").cast("long")),
+                "recomputed": F.sum(F.col("_recomputed").cast("long")),
+            },
+            project=["id", "core", "changed"],
         )
-        return new_state, {"changed": int(m["changed"] or 0)}
+        return new_state, {
+            "changed": int(m["changed"] or 0),
+            "recomputed": int(m["recomputed"] or 0),
+        }
 
     controller = IterationController(
         max_iterations=max_iterations,
@@ -107,5 +158,4 @@ def core_numbers(
     final, stats = controller.run(
         init, step, converged=lambda m, i: m["changed"] == 0, name="kcore"
     )
-    deg.unpersist()
     return final.select("id", "core"), stats

@@ -11,12 +11,23 @@ so the log never vanishes).
 
 Scale notes: wedge enumeration at an apex w fans out deg(w)² — that is
 inherent to the scores (a hub really does connect all its neighbor
-pairs), so the operator takes ``max_apex_degree`` to drop super-hub
-apexes, the standard "stop-word" cut for similarity mining (hubs
-contribute ~0 Adamic-Adar weight anyway: 1/ln(deg) → 0). The wedge
-join is one self-join co-partitioned on the apex; AQE's skew split
-covers residual hot apexes; the candidate-pair aggregate and the
-anti-join against existing edges shuffle on the (u, v) pair key.
+pairs), so the operator applies a ``max_apex_degree`` stop-word cut
+BY DEFAULT (10_000): super-hub apexes are dropped from wedge
+enumeration, the standard cut for similarity mining (hubs contribute
+~0 Adamic-Adar weight anyway: 1/ln(deg) → 0, and a single 10M-degree
+hub would otherwise be a 10¹⁴-wedge cartesian). ``None`` is the
+explicit opt-out for exact scores on hub-free graphs. The wedge join
+is one self-join co-partitioned on the apex; AQE's skew split covers
+residual hot apexes; the candidate-pair aggregate and the anti-join
+against existing edges shuffle on the (u, v) pair key.
+
+Semantics under the cut: ``common``/``adamic_adar`` count only wedges
+through apexes with deg ≤ max_apex_degree, while the ``jaccard``
+denominator keeps the GLOBAL endpoint degrees — i.e. hub-mediated
+co-occurrence is treated as no evidence (numerator) but the endpoints'
+true neighborhood sizes still normalize the score (denominator). That
+makes the cut strictly conservative: every score is a lower bound on
+its uncut value.
 """
 
 from __future__ import annotations
@@ -28,13 +39,18 @@ from pyspark import StorageLevel
 from distributed_graph_analytics_spark.sources.edges import canonicalize_edges
 
 
+DEFAULT_MAX_APEX_DEGREE = 10_000
+
+
 def common_neighbor_scores(
     edges: DataFrame,
     min_common: int = 2,
-    max_apex_degree: int | None = None,
+    max_apex_degree: int | None = DEFAULT_MAX_APEX_DEGREE,
 ) -> DataFrame:
     """Returns (u, v, common, jaccard, adamic_adar) with u < v, pairs
-    not already adjacent, common >= min_common."""
+    not already adjacent, common >= min_common (over apexes with
+    deg <= max_apex_degree; pass ``None`` to enumerate every wedge —
+    deg(w)² per apex, safe only on hub-free graphs)."""
     if "weight" not in edges.columns:  # canonicalize_edges expects it
         edges = edges.withColumn("weight", F.lit(1).cast("long"))
     canon = canonicalize_edges(edges).select("src", "dst").persist(

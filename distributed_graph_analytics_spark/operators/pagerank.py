@@ -46,6 +46,25 @@ from distributed_graph_analytics_spark.sources.edges import vertices_of
 ADJ_CHUNK = 65_536
 
 
+def _int_packable(col: Column) -> Column:
+    """Guarded int cast for compact_ids packs: ids beyond 31 bits would
+    silently wrap under non-ANSI cast semantics and corrupt every
+    downstream score with no error, so the bound is enforced per value
+    (``raise_error`` aborts the build job). compact_ids is opt-in and
+    the branch is a codegen'd comparison, so the default paths pay
+    nothing."""
+    return F.when(
+        (col >= 0) & (col <= F.lit((1 << 31) - 1)), col.cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("compact_ids requires ids in [0, 2^31-1]; got "),
+                col.cast("string"),
+            )
+        ).cast("int")
+    )
+
+
 def _chunked(arr_col: str) -> Column:
     """Split a packed neighbor array into ADJ_CHUNK-bounded slices
     (1-based F.slice), ready to explode into one row per chunk."""
@@ -88,14 +107,14 @@ def build_out_adjacency(
     sendMessageToAllEdges, PageRankComputation.java:51-81) and falls
     out of the packed array size — no degree join at all.
     """
-    # compact_ids: pack neighbor ids as INT (caller asserts ids fit in
-    # 31 bits — true for every tested scale incl. the x64 replicate's
+    # compact_ids: pack neighbor ids as INT with a per-value bound
+    # guard (true for every tested scale incl. the x64 replicate's
     # 640M ceiling). Halves the array payload of the pack buffers, the
     # localCheckpoint copy and every superstep's adjacency scan — the
     # DRAM-bandwidth-bound share of the build (BENCH/BASELINE.md).
     # Key columns stay LONG, so partitioning/join invariants and the
     # public (id LONG) contract are untouched; explode sites cast back.
-    dst_col = F.col("dst").cast("int") if compact_ids else F.col("dst")
+    dst_col = _int_packable(F.col("dst")) if compact_ids else F.col("dst")
     e_parted = edges.select("src", "dst").repartition(n_part, "src")
     return (
         e_parted.groupBy("src")

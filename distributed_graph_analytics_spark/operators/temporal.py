@@ -44,6 +44,16 @@ def asof_join(
     by = list(by)
     lcols = left.columns
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_payload")
+    if tiebreak:
+        # the tiebreak rides the window ordering as a long; a
+        # non-integral column would silently cast to NULL and quietly
+        # lose the determinism guarantee the parameter exists for
+        tb_type = dict(right.dtypes).get(tiebreak)
+        if tb_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"asof_join tiebreak column {tiebreak!r} must be an "
+                f"integral type, got {tb_type!r}"
+            )
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     l2 = left.select(
         *by,

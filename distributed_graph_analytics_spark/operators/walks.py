@@ -26,6 +26,7 @@ from pyspark import StorageLevel
 
 from distributed_graph_analytics_spark.functions.dedup import _hash64
 from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK
+from distributed_graph_analytics_spark.plans.iteration import hash_agg_pack
 from distributed_graph_analytics_spark.sources.edges import canonicalize_edges
 
 
@@ -72,6 +73,12 @@ def random_walks(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # force the pack job under the scoped ObjectHashAggregate raise
+    # (plans.iteration.hash_agg_pack): the collect_list pack would
+    # otherwise fall back to sort-based aggregation at 128 keys —
+    # the config must be set when the job RUNS, and persist is lazy
+    with hash_agg_pack(spark):
+        packed.count()
     degs = packed.select("v", "deg").distinct()
 
     walkers = packed.select(F.col("v").alias("walk_id")).distinct().select(

@@ -34,7 +34,11 @@ from distributed_graph_analytics_spark.plans.iteration import (
     hash_agg_pack,
     materialize,
 )
-from distributed_graph_analytics_spark.operators.pagerank import ADJ_CHUNK, _chunked
+from distributed_graph_analytics_spark.operators.pagerank import (
+    ADJ_CHUNK,
+    _chunked,
+    _int_packable,
+)
 from distributed_graph_analytics_spark.plans.join_strategy import maybe_broadcast
 
 
@@ -59,11 +63,11 @@ def build_sym_adjacency(
     )
     if not edges_canonical:
         sym = sym.distinct()
-    # compact_ids: int neighbor arrays (caller asserts ids < 2^31) —
-    # halves the pack-buffer/checkpoint/scan payload; the key column v
-    # stays LONG so every layout invariant holds (see
-    # pagerank.build_out_adjacency)
-    u_col = F.col("u").cast("int") if compact_ids else F.col("u")
+    # compact_ids: int neighbor arrays (per-value bound guard — see
+    # pagerank._int_packable) — halves the pack-buffer/checkpoint/scan
+    # payload; the key column v stays LONG so every layout invariant
+    # holds (see pagerank.build_out_adjacency)
+    u_col = _int_packable(F.col("u")) if compact_ids else F.col("u")
     return (
         sym.repartition(n_part, "v")
         .groupBy("v")
@@ -80,11 +84,18 @@ def weakly_connected_components(
     num_partitions: int | None = None,
     edges_canonical: bool = False,
     compact_ids: bool = False,
+    min_label: bool = False,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (components(id LONG, component LONG), stats).
 
     ``component`` is the max vertex id in the component (reference
     fixture semantics, WeaklyConnectedComponentsCoreTest.scala).
+    ``min_label=True`` flips the merge to MIN — the GraphX built-in
+    ``Graph.connectedComponents()`` semantics that the reference's
+    ``wccGraphX`` CLI analytic dispatches to
+    (dga-graphx DGARunner.scala:96-117, components labeled by the
+    LOWEST vertex id). Same kernel, mirrored comparisons; labels are
+    exact either way.
 
     ``edges_canonical=True`` asserts the input has unique undirected
     pairs (e.g. the co-occurrence build's src < dst contract) and skips
@@ -125,6 +136,14 @@ def weakly_connected_components(
         F.col("id"), F.col("id").alias("component"), F.lit(True).alias("changed")
     )
 
+    # max-label (DGA's own WCC) or min-label (GraphX built-in) — the
+    # kernel is identical with the merge/compare mirrored
+    merge = F.min if min_label else F.max
+    pick = F.least if min_label else F.greatest
+
+    def improves(cand, component):
+        return cand < component if min_label else cand > component
+
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         frontier = state.where("changed").select("id", "component")
         # messages: each frontier vertex pushes its label to all
@@ -138,15 +157,15 @@ def weakly_connected_components(
             )
             .select(F.col("_nb").cast("long").alias("id"), "cand")
             .groupBy("id")
-            .agg(F.max("cand").alias("cand"))
+            .agg(merge("cand").alias("cand"))
         )
         new_state = (
             state.select("id", "component")
             .join(maybe_broadcast(msgs, n), "id", "left_outer")
             .select(
                 "id",
-                F.greatest("component", "cand").alias("component"),
-                (F.col("cand") > F.col("component")).alias("changed_raw"),
+                pick("component", "cand").alias("component"),
+                improves(F.col("cand"), F.col("component")).alias("changed_raw"),
             )
             .select(
                 "id",

@@ -40,22 +40,16 @@ def get_spark(
         # stats, so SMJ would be picked by default; hash joins win for
         # the per-superstep equi-joins
         .config("spark.sql.join.preferSortMergeJoin", "false")
-        # collect_list (the CSR adjacency pack) runs on
-        # ObjectHashAggregateExec, which abandons its hash map for
-        # sort-based aggregation after this many DISTINCT KEYS
-        # (default 128!) — so every pack was sorting 2|E|/p rows per
-        # partition. Raised so realistic per-partition group counts
-        # (|V|/p) stay hash-based: measured 3-4x on the 38M-edge
-        # adjacency build at 4 cores (43-64s -> 15-25s PR, 92-109s ->
-        # 21-38s WCC; tools/_ab_build_probe.py). Memory: the map holds
-        # per-key neighbor buffers that the task output materializes
-        # anyway; the sort-based fallback still guards partitions with
-        # more groups than this (size shuffle partitions so |V|/p stays
-        # under it).
-        .config(
-            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-            os.environ.get("SPARK_GRAFT_AGG_FALLBACK", str(1 << 22)),
-        )
+        # NOTE: spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+        # is deliberately NOT raised session-wide. The CSR adjacency
+        # packs need it >128 (measured 3-4x of the whole build at 38M
+        # edges / 4 cores, tools/_ab_build_probe.py), but they raise it
+        # through the SCOPED plans.iteration.hash_agg_pack() context at
+        # each pack's own action — a global raise would let EVERY
+        # TypedImperativeAggregate (streaming collect_set, future
+        # percentile aggs) hold millions of group buffers before the
+        # sort-spill fallback, an OOM class the pack-specific reasoning
+        # ("memory bounded by the pack's own output") does not cover.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # iterative loops localCheckpoint per superstep; the blocks are
         # freed by the ContextCleaner only after a driver GC — force one

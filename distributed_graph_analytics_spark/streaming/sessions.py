@@ -34,7 +34,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -158,9 +158,13 @@ def batch_sessionize_custom(
     ``max_duration`` — the semantics ``session_window`` cannot express.
 
     Every session closes at end-of-input (batch has no watermark).
-    Per-user data is one Arrow batch; groups are independent, so the
-    operator scales with the user count, and per-user event counts
-    bound the batch width (events tables are long and narrow).
+    Groups are independent, so the operator scales with the user
+    count — and a DOMINANT user cannot blow one Arrow batch: each
+    user's history is pre-split at every silence ≥ gap (a session can
+    never span such a silence, so the gap-aligned split is
+    semantics-preserving) and the fold runs per (user, segment). The
+    residual worst case is one user with gap-free continuous activity
+    over the whole corpus, which is a degenerate input, not a hub.
     """
     gap_us = _parse_interval_us(gap)
     maxd_us = _parse_interval_us(max_duration) if max_duration else None
@@ -182,7 +186,22 @@ def batch_sessionize_custom(
     e = _prep(events).select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
-    return e.groupBy("user_id").applyInPandas(fold, SESSION_SCHEMA)
+    # gap-aligned pre-split: segment id = running count of ≥gap
+    # silences within the user (strict join is ts - last < gap, so a
+    # diff == gap already starts a new session — boundaries align)
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    e = e.withColumn(
+        "_seg",
+        F.coalesce(
+            F.sum(
+                (F.col("ts_us") - F.lag("ts_us").over(w) >= F.lit(gap_us)).cast(
+                    "int"
+                )
+            ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            F.lit(0),
+        ),
+    )
+    return e.groupBy("user_id", "_seg").applyInPandas(fold, SESSION_SCHEMA)
 
 
 def streaming_sessionize(

@@ -207,10 +207,14 @@ def test_full_superstep_single_exchange(spark):
     assert len(exchanges) == 1, exchanges
 
 
-def test_kcore_superstep_single_exchange(spark):
-    """kcore's h-index superstep keeps the PageRank/WCC invariant: ONE
-    exchange (re-keying messages to the receiver); the window sort, the
-    prefix-count groupBy and the state join all reuse that layout."""
+def test_kcore_superstep_plan_shape(spark):
+    """kcore's frontier superstep: every exchange carries
+    frontier-proportional rows (4 total: dirty-distinct, value-pull
+    rekey, histogram agg, per-receiver window over DISTINCT-VALUE
+    rows), and there is NO row_number/full-width sort over raw message
+    rows — the skew-safe h-index comes from the capped-value histogram
+    (operators/kcore.py), so a hub's superstep cost is one combinable
+    hash aggregate, not a 10M-row per-receiver sort."""
     from pyspark.sql import Window
 
     from distributed_graph_analytics_spark.operators.wcc import (
@@ -229,25 +233,49 @@ def test_kcore_superstep_single_exchange(spark):
         state = (
             nbrs.select(F.col("v").alias("id"))
             .distinct()
-            .select("id", F.lit(5).cast("long").alias("core"))
+            .select(
+                "id",
+                F.lit(5).cast("long").alias("core"),
+                F.lit(True).alias("changed"),
+            )
             .repartition(n_part, "id")
             .localCheckpoint(eager=True)
         )
     n = 200_000  # force the shuffle_hash path
-    w = Window.partitionBy("id").orderBy(F.desc("nval"), F.desc("sender"))
-    msgs = nbrs.join(maybe_broadcast(state, n), nbrs["v"] == state["id"]).select(
-        F.col("v").alias("sender"),
-        F.explode("us").alias("id"),
-        F.col("core").alias("nval"),
+    # mirror of core_numbers' step (operators/kcore.py)
+    changed_senders = state.where("changed").select(F.col("id").alias("v"))
+    dirty = (
+        nbrs.join(maybe_broadcast(changed_senders, n), "v")
+        .select(F.explode("us").alias("id"))
+        .distinct()
+    )
+    pulls = (
+        dirty.join(state.select("id", F.col("core").alias("cur")), "id")
+        .select(F.col("id").alias("v"), "cur")
+        .join(nbrs, "v")
+        .select(F.col("v").alias("id"), "cur", F.explode("us").alias("u"))
+    )
+    vals = pulls.join(
+        state.select(F.col("id").alias("u"), F.col("core").alias("nval")), "u"
+    )
+    hist = (
+        vals.select("id", F.least("nval", "cur").alias("cv"))
+        .groupBy("id", "cv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("cv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     h = (
-        msgs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("nval") >= F.col("rn"))
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .select("id", F.least("cv", "cum").alias("hc"))
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("h"))
+        .agg(F.max("hc").alias("h"))
     )
-    new_state = state.join(maybe_broadcast(h, n), "id").select(
-        "id", F.least("core", "h").alias("core")
+    new_state = state.join(maybe_broadcast(h, n), "id", "left_outer").select(
+        "id", F.least("core", F.coalesce("h", F.col("core"))).alias("core")
     )
     with aqe_off(spark):
         plan = _executed_plan(new_state)
@@ -256,7 +284,13 @@ def test_kcore_superstep_single_exchange(spark):
         for ln in plan.splitlines()
         if "Exchange" in ln and "Reused" not in ln
     ]
-    assert len(exchanges) == 1, exchanges
+    assert len(exchanges) == 4, exchanges
+    # the round-2 weak spot: a per-receiver row_number sort over raw
+    # message rows. The only Sort allowed is the window's, and its
+    # input is the (id, value)-collapsed histogram aggregate.
+    assert "row_number" not in plan.lower()
+    sort_lines = [ln for ln in plan.splitlines() if "Sort " in ln]
+    assert len(sort_lines) <= 1, sort_lines
 
 
 def test_sssp_superstep_single_exchange(spark):
@@ -331,3 +365,24 @@ def test_compact_ids_bit_identical(spark):
         assert a == b
         # output schema contract stays LONG ids
         assert dict(fn(True).dtypes)["id"] == "bigint"
+
+
+def test_compact_ids_rejects_out_of_range(spark):
+    """compact_ids packs neighbor ids as int; an id past 2^31-1 must
+    ERROR at build time, not silently wrap into corrupt scores
+    (non-ANSI cast semantics would wrap without the guard)."""
+    import pytest as _pytest
+
+    from distributed_graph_analytics_spark.operators.pagerank import (
+        build_out_adjacency,
+    )
+
+    big = spark.createDataFrame(
+        [(1, 2), (2, (1 << 31) + 7)], ["src", "dst"]
+    )
+    with _pytest.raises(Exception, match="compact_ids requires"):
+        build_out_adjacency(big, 4, compact_ids=True).collect()
+    # in-range ids still pack fine
+    ok = spark.createDataFrame([(1, 2), (2, (1 << 31) - 1)], ["src", "dst"])
+    packed = build_out_adjacency(ok, 4, compact_ids=True).collect()
+    assert {r["src"] for r in packed} == {1, 2}

@@ -131,3 +131,25 @@ def test_pyfiles_zip_importable(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert int(r.stdout.strip()) >= 13
+
+
+def test_cli_graphx_variants_dispatch(spark, tmp_path):
+    """wccGraphX (min-label connectedComponents semantics) and
+    prGraphX (Pregel delta-push) — the reference's GraphX built-in
+    dispatch lines (DGARunner.scala:96-117)."""
+    inp = _write_edges(tmp_path)
+    out = str(tmp_path / "wccgx_out")
+    args = build_parser().parse_args(["wccGraphX", "-i", inp, "-o", out])
+    assert run(args, spark) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4  # one line per edge, S7 shape
+    assert all(r["component"] == 1 for r in rows)  # LOWEST id labels
+
+    out2 = str(tmp_path / "prgx_out")
+    args = build_parser().parse_args(
+        ["prGraphX", "-i", inp, "-o", out2, "--delta", "0.000001"]
+    )
+    assert run(args, spark) == 0
+    ranks = {r["id"]: r["rank"] for r in spark.read.parquet(out2).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    assert all(v > 0 for v in ranks.values())

@@ -74,3 +74,20 @@ def test_max_apex_degree_drops_hub_wedges(spark):
     ).count()
     assert with_hub > 0
     assert without < with_hub
+
+
+def test_default_hub_cut_is_on(spark):
+    """The stop-word cut defaults ON (max_apex_degree=10_000): a
+    super-hub above the cut contributes NO wedges by default — the
+    deg(w)^2 cartesian a 100-TB co-occurrence hub would otherwise
+    explode into. None is the explicit opt-out (covered by the brute
+    twin above on hub-free graphs)."""
+    from distributed_graph_analytics_spark.operators.link_prediction import (
+        DEFAULT_MAX_APEX_DEGREE,
+    )
+
+    assert DEFAULT_MAX_APEX_DEGREE == 10_000
+    star = [(0, i) for i in range(1, DEFAULT_MAX_APEX_DEGREE + 3)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    # every candidate pair's only wedge runs through the super-hub
+    assert common_neighbor_scores(df, min_common=1).count() == 0

@@ -10,9 +10,43 @@ from distributed_graph_analytics_spark.functions.multimodal import (
 )
 
 
-def test_decode_stub_raises_without_fake():
+def _has_pil():
+    from distributed_graph_analytics_spark.functions.multimodal import _pil
+
+    return _pil() is not None
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed: real path active")
+def test_decode_raises_without_codec():
+    """Without Pillow the real path is an honest NotImplementedError
+    gate, never a silent fake."""
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_decode_and_resize_real_roundtrip():
+    """With Pillow present, the real path decodes and resizes actual
+    image bytes (deterministic 2x2 PNG built through Pillow itself)."""
+    import io
+
+    from PIL import Image
+
+    from distributed_graph_analytics_spark.functions.multimodal import (
+        resize_image,
+    )
+
+    im = Image.new("RGB", (2, 2), color=(255, 0, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    feat = decode_image(png)
+    assert len(feat) == 8
+    assert feat[0] == 2.0 and feat[1] == 2.0  # width, height
+    assert abs(feat[2] - 1.0) < 1e-6  # mean R of a pure-red image
+    resized = resize_image(png, 4, 3)
+    with Image.open(io.BytesIO(resized)) as back:
+        assert back.size == (4, 3)
 
 
 def test_extract_features_deterministic_and_schema(spark):
@@ -60,8 +94,9 @@ def test_resize_images_fake_plumbing(spark):
     assert {bytes(r["payload"]) for r in out} == {
         bytes(r["payload"]) for r in again
     }
-    # the real path is honestly absent
-    import pytest as _pytest
+    # without Pillow the real path is an honest gate, not a silent fake
+    if not _has_pil():
+        import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="codec"):
-        resize_image(b"\x00", 4, 4)
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            resize_image(b"\x00", 4, 4)

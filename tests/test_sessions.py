@@ -143,3 +143,39 @@ def test_streaming_custom_state_carries_across_batches(spark, tmp_path):
     base = pd.Timestamp("2024-01-01 00:00:00").value // 1000
     # first session: 3 events across the two batches, end = 02:00 + gap
     assert (7, base, base + 2 * 3600 * 1_000_000 + GAP_US, 3, 6.0) in got
+
+
+def test_dominant_user_gap_aligned_presplit(spark):
+    """One user owns (nearly) the whole event log: the batch custom
+    path pre-splits their history at every >= gap silence, so the fold
+    runs per (user, segment) instead of one unbounded Arrow batch —
+    and the output is identical to the unsplit semantics (pinned
+    against the native session_window on the gap-only config)."""
+    from distributed_graph_analytics_spark.streaming.sessions import (
+        batch_sessionize,
+        batch_sessionize_custom,
+    )
+
+    # 50 sessions of 3 events each, separated by exactly-gap silences
+    gap_us = 3_600_000_000  # 1 hour
+    rows = []
+    t = 1_000_000
+    for s in range(50):
+        for k in range(3):
+            rows.append((7, t + k * 1_000_000, 1.0))
+        t += 3 * 1_000_000 + gap_us  # next burst exactly gap after last
+    rows.append((8, 5_000_000, 2.0))  # one other tiny user
+    df = spark.createDataFrame(rows, ["user_id", "ts_us", "value"]).select(
+        "user_id",
+        (F.col("ts_us") / 1_000_000).cast("timestamp").alias("ts"),
+        "value",
+    )
+    native = {
+        tuple(r) for r in batch_sessionize(df, gap="1 hour").collect()
+    }
+    custom = {
+        tuple(r)
+        for r in batch_sessionize_custom(df, gap="1 hour").collect()
+    }
+    assert custom == native
+    assert len([r for r in custom if r[0] == 7]) == 50

@@ -100,3 +100,20 @@ def test_sessionize_single_exchange(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ex = _exchanges(batch_sessionize(ev))
     assert len(ex) == 1 and "user_id" in ex[0], ex
+
+
+def test_asof_tiebreak_requires_integral_dtype(spark):
+    """A non-numeric tiebreak used to silently cast to NULL, quietly
+    losing the determinism guarantee — now it raises."""
+    import pytest as _pytest
+
+    from distributed_graph_analytics_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10)], ["user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, 5, "k1", 1.0)], ["user_id", "ts", "event_key", "value"]
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        asof_join(
+            left, right, right_cols=("value",), tiebreak="event_key"
+        )

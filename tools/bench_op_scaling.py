@@ -1,0 +1,152 @@
+"""Per-operator scaling probes for the heavy round-2 extension ops
+(VERDICT r2 item 5): link_prediction's wedge join and the custom
+sessionization fold, run at two parallelism levels (N and 4N local
+cores, fresh JVM per leg, optional taskset pinning) on the same
+deterministic input — the same two-cluster-size evidence shape as the
+headline PR+WCC bench (tools/bench_scaling.py), sized so one leg is
+minutes, not tens of minutes.
+
+Usage: python tools/bench_op_scaling.py            # driver, all ops
+env: SPARK_GRAFT_PIN=1 (taskset), SPARK_GRAFT_N (default 1),
+SPARK_GRAFT_OP_REPEATS (default 2), SPARK_GRAFT_SF_DIR.
+
+Writes BENCH/op_scaling.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OPS = ("link_prediction", "sessionize_capped")
+
+
+def _worker(op: str, cpus: int) -> None:
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from distributed_graph_analytics_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        f"dga-op-scaling-{op}-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if op == "link_prediction":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.link_prediction import (
+            common_neighbor_scores,
+        )
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        # min_common=16: the driver-query configuration (the wedge join
+        # dominates regardless of the post-aggregation threshold)
+        n_out = common_neighbor_scores(edges, min_common=16).count()
+        sec = time.time() - t0
+    elif op == "sessionize_capped":
+        from distributed_graph_analytics_spark.streaming.sessions import (
+            batch_sessionize_custom,
+        )
+
+        # events replicated x8 with disjoint user ranges — deterministic
+        # scale-up, same trick as the headline bench's edge replicate
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        rep = F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(7).cast("long"))
+        ).alias("rep")
+        ev = ev.select("user_id", "ts", "value", rep).select(
+            (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias(
+                "user_id"
+            ),
+            "ts",
+            "value",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = ev.count()
+        t0 = time.time()
+        n_out = batch_sessionize_custom(
+            ev, gap="12 hours", max_duration="2 days"
+        ).count()
+        sec = time.time() - t0
+    else:
+        raise ValueError(op)
+    print(
+        json.dumps(
+            {
+                "op": op,
+                "cpus": cpus,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "sec": round(sec, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_leg(op: str, cpus: int) -> dict:
+    pin = os.environ.get("SPARK_GRAFT_PIN", "0") == "1"
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", op, str(cpus)]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    if out.returncode != 0:
+        raise RuntimeError(f"worker failed ({op}, {cpus}):\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> dict:
+    n_small = int(os.environ.get("SPARK_GRAFT_N", "1"))
+    n_big = 4 * n_small
+    repeats = int(os.environ.get("SPARK_GRAFT_OP_REPEATS", "2"))
+    results: dict[str, dict] = {}
+    for op in OPS:
+        legs: dict[int, list] = {n_small: [], n_big: []}
+        detail = {}
+        for _ in range(repeats):
+            # interleaved legs, same noise regime (see bench_scaling.py)
+            for cpus in (n_small, n_big):
+                r = run_leg(op, cpus)
+                legs[cpus].append(r["sec"])
+                detail[cpus] = r
+                print(json.dumps({"op": op, "leg_done": cpus,
+                                  "sec": r["sec"]}),
+                      file=sys.stderr, flush=True)
+        t_n, t_4n = min(legs[n_small]), min(legs[n_big])
+        results[op] = {
+            "rows_in": detail[n_small]["rows_in"],
+            "rows_out": detail[n_small]["rows_out"],
+            "t_n_sec": t_n,
+            "t_4n_sec": t_4n,
+            "all_runs_n": legs[n_small],
+            "all_runs_4n": legs[n_big],
+            "efficiency": round(t_n / (4.0 * t_4n), 3),
+        }
+    summary = {
+        "metric": "per-operator scaling efficiency, N to 4N cores",
+        "n_cores": n_small,
+        "n4_cores": n_big,
+        "pinned": os.environ.get("SPARK_GRAFT_PIN", "0") == "1",
+        "ops": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "op_scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()

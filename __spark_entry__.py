@@ -570,6 +570,18 @@ s{lv}_0 AS MATERIALIZED (
 #: "pagerank"/"louvain_level0" measured-determinism oracles.
 _LOUVAIN_LEVEL_CYCLES_SF001 = [4, 4, 4, 4, 2]
 
+#: Measured PageRank convergence iteration per testdata scale (Giraph
+#: semantics, eps=0.001, d=0.85). These are the validity keys for the
+#: measured-halt oracles below: the "pagerank" oracle unrolls exactly
+#: the grading scale's count, and the flagship entry() (sf0.001) relies
+#: on the sf0.001 row. Margins are wide on both sides of eps (last two
+#: max_delta values: sf0.001 0.0017872 -> 0.000466, i.e. 1.79x above /
+#: 2.15x below; sf0.01 0.001892 -> 0.000612, 1.89x above / 1.63x
+#: below), far beyond float summation-order noise — pinned by
+#: tests/test_measured_halts.py. Any other sf dir needs its halt
+#: measured and added here before the oracle can claim validity there.
+_PR_CONV_ITERS_BY_SF = {"0.001": 14, "0.01": 16}
+
 
 def _neighboring_communities_sql(
     cycles_per_level: list[int], wcc_rounds: int
@@ -1954,7 +1966,10 @@ def _q_events_sessions_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: PageRank to convergence on the sf0.001 co-occurrence graph."""
+    """Flagship: PageRank to convergence on the sf0.001 co-occurrence
+    graph. Measured halt at this scale: iteration 14 (max_delta
+    0.0017872 -> 0.000466 around eps=0.001 — see _PR_CONV_ITERS_BY_SF,
+    pinned by tests/test_measured_halts.py)."""
     return _q_pagerank_converged(spark, "/root/testdata/sf0.001")
 
 
@@ -2176,16 +2191,18 @@ SELECT user_id,
 FROM walk GROUP BY user_id, sess_start
 """,
         # "pagerank" (to convergence): the iteration count is
-        # data-dependent but DETERMINISTIC for a fixed input — at the
-        # driver's grading scale (sf0.01) the loop converges at
-        # iteration 16 with a wide margin (max_delta 0.001892 -> 0.000612
-        # around eps=0.001, >1.8x on both sides, far beyond float
-        # summation-order noise), so the converged result equals the
-        # 16-iteration unroll. Valid at sf0.01 specifically; the kernel
-        # is additionally hard-oracled at any sf via "pagerank_fixed10"
-        # and "pagerank_delta_push", and pinned by tests/test_pagerank.py
-        # (allclose 1e-6 vs a pure-Python Giraph-semantics twin).
-        "pagerank": _pagerank_unrolled_sql(16),
+        # data-dependent but DETERMINISTIC for a fixed input — the
+        # per-sf measured halts live in _PR_CONV_ITERS_BY_SF (sf0.01:
+        # 16, sf0.001: 14, both with >1.6x max_delta margin around
+        # eps=0.001 on both sides, far beyond float summation-order
+        # noise; pinned by tests/test_measured_halts.py), so the
+        # converged result equals the unroll at the keyed scale. The
+        # oracle string below is the GRADING scale's (sf0.01); the
+        # kernel is additionally hard-oracled at any sf via
+        # "pagerank_fixed10" and "pagerank_delta_push", and pinned by
+        # tests/test_pagerank.py (allclose 1e-6 vs a pure-Python
+        # Giraph-semantics twin).
+        "pagerank": _pagerank_unrolled_sql(_PR_CONV_ITERS_BY_SF["0.01"]),
         # "louvain_level0": same measured-halt equivalence — the level-0
         # move loop's progress halt (min_progress=2000, counter=1) is
         # data-dependent but deterministic; at sf0.01 it fires after

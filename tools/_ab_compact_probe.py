@@ -31,6 +31,9 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
     rounds = int(os.environ.get("AB_ROUNDS", "2"))
+    shapes = {"pr": ("pr",), "wcc": ("wcc",), "both": ("pr", "wcc")}[
+        os.environ.get("AB_SHAPE", "both")
+    ]
 
     from _scaling_worker import replicated_edges
 
@@ -67,7 +70,7 @@ def main():
         n = out.count()
         return sec, n, out
 
-    for shape in ("pr", "wcc"):
+    for shape in shapes:
         for rnd in range(rounds):
             for compact in (False, True):
                 sec, n, out = build(shape, compact)

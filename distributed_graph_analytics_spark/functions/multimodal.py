@@ -2,11 +2,20 @@
 
 The Spark-side plumbing is real — schema, partition-friendly batch
 iteration, Arrow-batched mapInPandas UDFs with bounded batch sizes —
-and the codec work is import-gated: `decode_image`/`resize_image` use
-Pillow when it is importable, raise NotImplementedError when it is not
-(this container ships no image libraries), and always accept
-`fake=True` for a deterministic stand-in (derived from the bytes'
-sha256) so the pipeline shape is testable end-to-end anywhere.
+and the codec layer is tiered so the REAL decode path runs even in
+codec-less containers:
+
+- images: Pillow when importable (any format), else a stdlib PNG
+  codec (zlib inflate + scanline unfilter, below) for PNG payloads;
+  other formats without Pillow raise NotImplementedError (honest
+  gate, never a silent fake);
+- audio: WAV (PCM16) through the stdlib ``wave`` module;
+- video: genuinely undecodable without external codecs —
+  NotImplementedError on the real path, frame-TIMESTAMP sampling is
+  columnar math and always real;
+- every decoder also accepts ``fake=True`` for a deterministic
+  stand-in (derived from the bytes' sha256) so the distributed
+  plumbing is testable independently of any codec.
 
 At 100 TB the pattern is: keep binaries in their own column (parquet
 keeps them out of unrelated scans via column pruning), set
@@ -18,6 +27,9 @@ key rather than row count.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -58,25 +70,168 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def synthesize_media_table(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media rows (payload = repeatable bytes)."""
+def _hash_stream(seed: str, n: int) -> bytes:
+    """n deterministic bytes from a sha256 counter stream."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}-{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def synthesize_media_table(
+    spark, n: int = 64, real_codecs: bool = False
+) -> DataFrame:
+    """Deterministic media rows. Default payloads are opaque repeatable
+    bytes (enough for the fake decode path and sha256 invariants);
+    ``real_codecs=True`` emits spec-valid PNG images (stdlib encoder)
+    and PCM16 WAV audio (stdlib ``wave``) so the REAL decode paths are
+    exercised without any external library. Video payloads stay opaque
+    either way — there is no in-container video codec, honestly."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        w, h, dur = 64 + i % 16, 48 + i % 9, 1000 + 10 * i
+        if real_codecs and kind == "image":
+            payload = encode_png(w, h, _hash_stream(f"img-{i}", w * h * 3))
+        elif real_codecs and kind == "audio":
+            rate = 8000
+            raw = _hash_stream(f"aud-{i}", 2 * (rate * dur // 1000))
+            samples = list(
+                struct.unpack(f"<{len(raw) // 2}h", raw[: len(raw) // 2 * 2])
+            )
+            payload = encode_wav(samples, sample_rate=rate)
+        else:
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
         rows.append(
             (
                 i,
                 kind,
                 bytearray(payload),
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i % 16,
-                48 + i % 9,
-                1000 + 10 * i,
+                w,
+                h,
+                dur,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: channels per pixel for the PNG color types the stdlib codec handles
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(kind: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + kind
+        + body
+        + struct.pack(">I", zlib.crc32(kind + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal stdlib PNG writer: 8-bit RGB, filter 0, non-interlaced.
+
+    ``rgb`` is width*height*3 bytes in scanline order. Output is a
+    spec-valid PNG any reader (incl. Pillow and the stdlib decoder
+    below) accepts — used for deterministic fixtures and the
+    stdlib resize path."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} RGB bytes, got {len(rgb)}"
+        )
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Undo per-scanline PNG filters (types 0-4) on inflated IDAT."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prev_off = (y - 1) * stride
+        for x in range(stride):
+            a = out[y * stride + x - bpp] if x >= bpp else 0
+            b = out[prev_off + x] if y > 0 else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] + a
+            elif ftype == 2:
+                v = line[x] + b
+            elif ftype == 3:
+                v = line[x] + ((a + b) >> 1)
+            elif ftype == 4:
+                c = out[prev_off + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] + pred
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out[y * stride + x] = v & 0xFF
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Stdlib PNG reader: (width, height, RGB bytes in scanline order).
+
+    Handles 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA,
+    alpha dropped), non-interlaced — the shapes this engine's fixture
+    and resize paths emit. Anything else raises ValueError (callers
+    fall back to the honest NotImplementedError gate)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width, height, ctype, idat = 8, 0, 0, -1, []
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        kind = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if kind == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"stdlib PNG codec handles 8-bit gray/RGB/RGBA "
+                    f"non-interlaced only (depth={depth} type={ctype})"
+                )
+        elif kind == b"IDAT":
+            idat.append(body)
+        elif kind == b"IEND":
+            break
+    bpp = _PNG_CHANNELS[ctype]
+    px = _png_unfilter(zlib.decompress(b"".join(idat)), width, height, bpp)
+    if ctype == 2:
+        return width, height, bytes(px)
+    rgb = bytearray(width * height * 3)
+    if ctype == 0:
+        for i in range(width * height):
+            rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = px[i]
+    else:  # RGBA: drop alpha
+        for i in range(width * height):
+            rgb[3 * i : 3 * i + 3] = px[4 * i : 4 * i + 3]
+    return width, height, bytes(rgb)
 
 
 def _pil():
@@ -91,49 +246,153 @@ def _pil():
         return None
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode an image payload into an 8-dim feature vector.
+def _rgb_features(w: int, h: int, rgb: bytes) -> list[float]:
+    """[width, height, mean_R, mean_G, mean_B, min_lum, max_lum,
+    aspect] from raw RGB bytes — one formula shared by the Pillow and
+    stdlib decode paths so both emit identical features."""
+    n = max(w * h, 1)
+    sums = [0, 0, 0]
+    lo, hi = 766, -1  # 3*255 bounds for the R+G+B sum
+    for i in range(0, len(rgb), 3):
+        r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        s = r + g + b
+        if s < lo:
+            lo = s
+        if s > hi:
+            hi = s
+    if hi < 0:
+        lo = hi = 0
+    return [
+        float(w),
+        float(h),
+        *[s / n / 255.0 for s in sums],
+        lo / 3.0 / 255.0,
+        hi / 3.0 / 255.0,
+        w / max(h, 1),
+    ]
 
-    Real path (when Pillow is importable): decode, convert to RGB, and
-    emit [width, height, mean_R, mean_G, mean_B, min_lum, max_lum,
-    aspect] — deterministic, codec-backed. Without Pillow the real
-    path raises NotImplementedError (honest gate, not a silent fake).
-    fake=True always produces a deterministic 8-dim feature from the
-    payload hash so the distributed plumbing is testable anywhere."""
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode an image payload into an 8-dim feature vector
+    [width, height, mean_R, mean_G, mean_B, min_lum, max_lum, aspect].
+
+    Real path: Pillow when importable (any format it reads), else the
+    stdlib PNG codec above for PNG payloads — codec-backed and
+    deterministic either way, with identical features for the same
+    PNG. A non-PNG payload without Pillow raises NotImplementedError
+    (honest gate, not a silent fake). fake=True always produces a
+    deterministic 8-dim feature from the payload hash so the
+    distributed plumbing is testable anywhere."""
     if fake:
         h = hashlib.sha256(payload).digest()
         return [b / 255.0 for b in h[:8]]
     Image = _pil()
     if Image is None:
+        if payload[:8] == _PNG_MAGIC:
+            return _rgb_features(*decode_png(payload))
         raise NotImplementedError(
-            "image decoding requires Pillow (not installed); "
+            "non-PNG image decoding requires Pillow (not installed); "
             "run with fake=True for the deterministic stand-in"
         )
-    import io
-
     with Image.open(io.BytesIO(payload)) as im:
         rgb = im.convert("RGB")
         w, h = rgb.size
-        px = list(rgb.getdata())
-        n = max(len(px), 1)
-        means = [sum(c[i] for c in px) / n / 255.0 for i in range(3)]
-        lum = [(c[0] + c[1] + c[2]) / 3.0 / 255.0 for c in px] or [0.0]
-        return [float(w), float(h), *means, min(lum), max(lum), w / max(h, 1)]
+        return _rgb_features(w, h, rgb.tobytes())
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode a WAV (PCM16) payload into an 8-dim feature vector
+    [n_frames, n_channels, sample_rate, duration_s, rms, peak,
+    zero_cross_rate, mean_abs] (amplitudes normalized to [0,1]) —
+    stdlib ``wave``-backed, no external codec needed. fake=True gives
+    the hash-derived stand-in (same shape as the image one)."""
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in h[:8]]
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        nch, sw, rate, nframes = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        if sw != 2:
+            raise NotImplementedError(
+                f"stdlib audio decode handles PCM16 WAV only (width {sw})"
+            )
+        samples = struct.unpack(f"<{nframes * nch}h", wf.readframes(nframes))
+    n = max(len(samples), 1)
+    peak = max((abs(s) for s in samples), default=0) / 32768.0
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
+    mean_abs = sum(abs(s) for s in samples) / n / 32768.0
+    zc = sum(
+        1
+        for i in range(1, len(samples))
+        if (samples[i - 1] < 0) != (samples[i] < 0)
+    ) / max(n - 1, 1)
+    return [
+        float(nframes),
+        float(nch),
+        float(rate),
+        nframes / max(rate, 1),
+        rms,
+        peak,
+        zc,
+        mean_abs,
+    ]
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Minimal stdlib PCM16 WAV writer (fixture twin of decode_audio)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
 
 
 def extract_features(media: DataFrame, fake: bool = True, batch_size: int = 256) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, bounded batches,
-    schema-stable output. The decode step is the stub above."""
+    schema-stable output, decoder dispatched per ``kind``.
+
+    Real mode (fake=False) is codec-backed: images through
+    Pillow-or-stdlib-PNG, audio through stdlib WAV; video has no
+    in-container codec, so real mode raises NotImplementedError on
+    video rows — filter them out (``media.where("kind != 'video'")``)
+    or run fake=True. Never a silent fake."""
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def decode(kind: str, raw: bytes) -> list[float]:
+        if fake:
+            return decode_image(raw, fake=True)
+        if kind == "image":
+            return decode_image(raw)
+        if kind == "audio":
+            return decode_audio(raw)
+        raise NotImplementedError(
+            f"no in-container codec for kind={kind!r}; filter such rows "
+            "out for real-mode extraction or run with fake=True"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             shas = []
-            for payload in pdf["payload"]:
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 raw = bytes(payload)
-                feats.append(decode_image(raw, fake=fake))
+                feats.append(decode(kind, raw))
                 shas.append(hashlib.sha256(raw).hexdigest())
             yield pd.DataFrame(
                 {
@@ -163,22 +422,34 @@ def resize_image(
     payload: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
     """Resize an image payload to (width, height), returned as PNG
-    bytes (Pillow path). Without Pillow the real path raises
-    NotImplementedError; fake=True emits a deterministic stand-in
-    payload of width*height bytes cycled from the source hash —
-    size-realistic so batch-memory behavior is testable anywhere."""
+    bytes. Real path: Pillow when importable, else the stdlib PNG
+    codec with nearest-neighbor resampling for PNG payloads (non-PNG
+    without Pillow raises NotImplementedError). fake=True emits a
+    deterministic stand-in payload of width*height bytes cycled from
+    the source hash — size-realistic so batch-memory behavior is
+    testable anywhere."""
     if fake:
         h = hashlib.sha256(payload).digest()
         n = width * height
         return (h * (n // len(h) + 1))[:n]
     Image = _pil()
     if Image is None:
-        raise NotImplementedError(
-            "image resizing requires Pillow (not installed); "
-            "run with fake=True for the deterministic stand-in"
-        )
-    import io
-
+        if payload[:8] != _PNG_MAGIC:
+            raise NotImplementedError(
+                "non-PNG image resizing requires Pillow (not installed); "
+                "run with fake=True for the deterministic stand-in"
+            )
+        sw, sh, rgb = decode_png(payload)
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            sy = y * sh // height
+            for x in range(width):
+                sx = x * sw // width
+                src = 3 * (sy * sw + sx)
+                out[3 * (y * width + x) : 3 * (y * width + x) + 3] = rgb[
+                    src : src + 3
+                ]
+        return encode_png(width, height, bytes(out))
     with Image.open(io.BytesIO(payload)) as im:
         out = io.BytesIO()
         im.resize((width, height)).save(out, format="PNG")

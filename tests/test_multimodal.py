@@ -100,3 +100,133 @@ def test_resize_images_fake_plumbing(spark):
 
         with _pytest.raises(NotImplementedError, match="Pillow"):
             resize_image(b"\x00", 4, 4)
+
+
+def test_stdlib_png_codec_roundtrip():
+    """The stdlib PNG codec is spec-valid and exact: encode -> decode
+    recovers every pixel; features come out of real decoded bytes."""
+    from distributed_graph_analytics_spark.functions.multimodal import (
+        _hash_stream,
+        decode_png,
+        encode_png,
+    )
+
+    rgb = _hash_stream("roundtrip", 7 * 5 * 3)
+    w, h, back = decode_png(encode_png(7, 5, rgb))
+    assert (w, h, back) == (7, 5, rgb)
+    # pure-red image: mean_R 1.0, mean_G/B 0, lum bounds = 1/3
+    feat = decode_image(encode_png(2, 2, bytes([255, 0, 0] * 4)))
+    assert feat[:2] == [2.0, 2.0]
+    assert abs(feat[2] - 1.0) < 1e-9 and feat[3] == 0.0 and feat[4] == 0.0
+    assert abs(feat[5] - 1 / 3) < 1e-9 and abs(feat[6] - 1 / 3) < 1e-9
+
+
+def test_stdlib_png_unfilter_all_types():
+    """Scanline filters 0-4 and gray/RGBA color types all decode (the
+    encoder only emits filter 0, so these are hand-built chunks)."""
+    import struct
+    import zlib
+
+    from distributed_graph_analytics_spark.functions.multimodal import (
+        decode_png,
+    )
+
+    def chunk(kind, body):
+        return (
+            struct.pack(">I", len(body))
+            + kind
+            + body
+            + struct.pack(">I", zlib.crc32(kind + body) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+
+    def png(w, h, ctype, raw):
+        return (
+            magic
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # grayscale, filter 0
+    assert decode_png(png(2, 1, 0, b"\x00\x10\x20")) == (
+        2, 1, bytes([0x10] * 3 + [0x20] * 3)
+    )
+    # RGBA (alpha dropped), row 2 filter 2 (Up)
+    assert decode_png(
+        png(1, 2, 6, b"\x00\x01\x02\x03\xff\x02\x09\x08\x07\x80")
+    ) == (1, 2, bytes([1, 2, 3, 10, 10, 10]))
+    # RGB filter 1 (Sub)
+    assert decode_png(png(2, 1, 2, b"\x01\x05\x05\x05\x05\x05\x05")) == (
+        2, 1, bytes([5, 5, 5, 10, 10, 10])
+    )
+    # RGB filter 3 (Average) + filter 4 (Paeth) across two rows
+    assert decode_png(
+        png(1, 2, 2, b"\x03\x10\x10\x10\x04\x01\x02\x03")
+    ) == (1, 2, bytes([16, 16, 16, 17, 18, 19]))
+
+
+def test_stdlib_wav_features():
+    from distributed_graph_analytics_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    f = decode_audio(encode_wav([0, 1000, -1000, 32767, -32768, 5], 8000))
+    assert f[0] == 6.0 and f[1] == 1.0 and f[2] == 8000.0
+    assert abs(f[5] - 1.0) < 1e-9  # peak is the full-scale -32768
+    assert 0.0 < f[4] < 1.0 and 0.0 < f[6] <= 1.0
+
+
+def test_extract_features_real_codecs(spark):
+    """Real-mode extraction end-to-end in THIS container: stdlib PNG +
+    WAV payloads decode through mapInPandas with no external codec and
+    no fake fallback (video rows filtered, as documented)."""
+    from distributed_graph_analytics_spark.functions.multimodal import (
+        decode_audio,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=12, real_codecs=True)
+    out = extract_features(
+        media.where("kind != 'video'"), fake=False
+    ).collect()
+    assert len(out) == 8  # 4 images + 4 audio of 12 round-robin rows
+    by_id = {r["media_id"]: r for r in out}
+    rows = {r["media_id"]: r for r in media.collect()}
+    for mid, r in by_id.items():
+        src = rows[mid]
+        assert r["payload_sha256"] == hashlib.sha256(
+            bytes(src["payload"])
+        ).hexdigest()
+        if r["kind"] == "image":
+            # real decode: features carry the true encoded dimensions
+            assert r["feature"][0] == float(src["width"])
+            assert r["feature"][1] == float(src["height"])
+        else:
+            twin = decode_audio(bytes(src["payload"]))
+            assert r["feature"][2] == 8000.0
+            assert abs(r["feature"][4] - twin[4]) < 1e-6
+    # video rows in real mode are an honest error, not a silent fake
+    with pytest.raises(Exception, match="no in-container codec"):
+        extract_features(
+            media.where("kind = 'video'"), fake=False
+        ).collect()
+
+
+def test_resize_images_real_codecs(spark):
+    """Stdlib nearest-neighbor resize over mapInPandas: output payloads
+    are spec-valid PNGs of the requested size."""
+    from distributed_graph_analytics_spark.functions.multimodal import (
+        decode_png,
+        resize_images,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=9, real_codecs=True)
+    out = resize_images(media, 8, 6, fake=False).collect()
+    assert len(out) == 3
+    for r in out:
+        w, h, rgb = decode_png(bytes(r["payload"]))
+        assert (w, h) == (8, 6) and len(rgb) == 8 * 6 * 3

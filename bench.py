@@ -37,8 +37,11 @@ def main() -> dict:
     )
     from __spark_entry__ import load_edges
 
+    # tasks-per-core = 3 (standard 2-3x sizing; probed at x64 in
+    # tools/_ab_partitions_probe.py — cuts the adjacency-pack builds
+    # 36-45% and the 4-core superstep loop 13% vs one wave per core)
     spark = get_spark(
-        "dga-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "dga-bench", master=f"local[{cpus}]", shuffle_partitions=3 * cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -37,6 +37,17 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+    # tasks-per-core: standard cluster sizing runs 2-3 task waves per
+    # core (Spark tuning guide's 2-3x recommendation) so stage tails
+    # don't idle cores and per-task aggregation hash maps stay
+    # cache-sized. partitions == cores (the historical choice here) is
+    # the unusual config: one wave, one giant ObjectHashAggregate map
+    # per core. Probed within-JVM at x64 (tools/_ab_partitions_probe.py,
+    # BENCH/BASELINE.md): 3x cuts the adjacency build 36-45% at both
+    # core counts and the superstep loop 13% at 4 cores. Applied to
+    # BOTH legs identically — same job, same sizing rule, two
+    # parallelism levels.
+    mult = int(os.environ.get("SPARK_GRAFT_PART_MULT", "3"))
 
     from distributed_graph_analytics_spark.session import get_spark
     from distributed_graph_analytics_spark.operators.pagerank import pagerank
@@ -45,7 +56,9 @@ def main():
     )
 
     spark = get_spark(
-        f"dga-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        f"dga-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=mult * cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

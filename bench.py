@@ -37,11 +37,8 @@ def main() -> dict:
     )
     from __spark_entry__ import load_edges
 
-    # tasks-per-core = 3 (standard 2-3x sizing; probed at x64 in
-    # tools/_ab_partitions_probe.py — cuts the adjacency-pack builds
-    # 36-45% and the 4-core superstep loop 13% vs one wave per core)
     spark = get_spark(
-        "dga-bench", master=f"local[{cpus}]", shuffle_partitions=3 * cpus
+        "dga-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -49,6 +46,15 @@ def main() -> dict:
     edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = edges.count()
     t_build = time.time() - t0
+
+    # data-aware task sizing: 3 waves per core (standard 2-3x sizing;
+    # probed at x64 in tools/_ab_partitions_probe.py — cuts the
+    # adjacency-pack builds 36-45% and the 4-core superstep loop 13%)
+    # but never below ~40k edges per task — at sf0.1/local[32] the
+    # graph is 1.2M edges and stage-launch overhead dominates, so
+    # extra waves only add fixed cost there
+    n_part = min(3 * cpus, max(cpus, n_edges // 40_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
 
     t0 = time.time()
     ranks, pr_stats = pagerank(edges)

@@ -11,17 +11,27 @@ vertices (no out-edges) send nothing and keep receiving the teleport
 term — identical to Giraph, where sendMessageToAllEdges over zero edges
 is a no-op.
 
-Spark-first design:
-- the adjacency is packed ONCE before the loop into CSR-style array
-  rows (out-degree falls out of the array size — no degree join), so
-  the per-superstep work is one shuffle join (packed adjacency ⋈ ranks
-  on src, no exchange on the packed side) + one partial-aggregated
-  groupBy(dst) + one left join back to the vertex set;
-- the convergence scalar piggybacks on the state materialization
-  (single agg over the new state), the DataFrame analog of Giraph's
-  DoubleMax aggregator;
-- everything is native column expressions → whole-stage codegen; no
-  Python in the loop body.
+Spark-first design — two kernel tiers behind one signature (the north
+star's "broadcast-or-shuffle" decision, made from the known |V|):
+
+- **gather tier** (default when 8·|V| fits a broadcast,
+  plans/gather.py): the packed int32 in-adjacency stays distributed;
+  each superstep broadcasts the rank vector as a raw numpy array and
+  reduces every vertex's messages with one shuffle-free vectorized
+  mapInArrow pass — measured 4-8x the shuffle tier's superstep rate at
+  76.5M edges (tools/_ab_gather_probe.py vs BENCH/scaling_result.json);
+- **shuffle tier** (any |V|): the adjacency is packed ONCE before the
+  loop into CSR-style array rows (out-degree falls out of the array
+  size — no degree join), so the per-superstep work is one shuffle join
+  (packed adjacency ⋈ ranks on src, no exchange on the packed side) +
+  one partial-aggregated groupBy(dst) + one left join back to the
+  vertex set; the convergence scalar piggybacks on the state
+  materialization (single agg over the new state), the DataFrame analog
+  of Giraph's DoubleMax aggregator; everything is native column
+  expressions → whole-stage codegen; no Python in the loop body.
+
+Both tiers produce identical scores through the identical iteration
+trajectory (pinned by tests/test_gather_tier.py).
 """
 
 from __future__ import annotations
@@ -136,11 +146,38 @@ def pagerank(
     checkpoint_every: int = 10,
     num_partitions: int | None = None,
     compact_ids: bool = False,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (ranks(id LONG, rank DOUBLE), stats). ``compact_ids``
-    packs adjacency arrays as int (caller asserts ids < 2^31)."""
+    packs adjacency arrays as int (caller asserts ids < 2^31; shuffle
+    tier only). ``strategy``: "auto" picks the broadcast-gather kernel
+    when |V| ≤ SPARK_GRAFT_GATHER_MAX_V (plans/gather.py tier cap) and
+    the shuffle-join kernel above it; "gather"/"shuffle" force a tier.
+    """
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown pagerank strategy {strategy!r}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            max_gather_vertices,
+        )
+
+        g = GatherGraph.build(edges)
+        if strategy == "gather" or g.n <= max_gather_vertices():
+            return _pagerank_gather(
+                g,
+                damping=damping,
+                epsilon=epsilon,
+                max_iterations=max_iterations,
+                checkpoint_manager=checkpoint_manager,
+                checkpoint_every=checkpoint_every,
+                n_part=n_part,
+            )
+        # auto fallback above the tier cap: the dict pass is released
+        # and the plan-pinned shuffle kernel below takes over
+        g.release()
 
     # CSR-style adjacency blocks (north star: "range-partitioned
     # CSR-style adjacency blocks persisted per iteration"): out-edges
@@ -238,6 +275,93 @@ def pagerank(
     # ContextCleaner after driver GC (periodicGC.interval=1min)
     vertices.unpersist()
     return final, stats
+
+
+def _pagerank_gather(
+    g,
+    damping: float,
+    epsilon: float,
+    max_iterations: int,
+    checkpoint_manager,
+    checkpoint_every: int,
+    n_part: int,
+) -> tuple[DataFrame, IterationStats]:
+    """Gather-tier PageRank (see plans/gather.py and the module
+    docstring): identical Giraph semantics and iteration trajectory as
+    the shuffle kernel — same teleport/damping arithmetic, same
+    ``i >= 2 and max_delta < ε`` halt — with each superstep one
+    shuffle-free vectorized pass over the packed int32 in-adjacency.
+
+    Checkpoints save/resume the same (id, rank) vertex-state DataFrame
+    as the shuffle tier, so a run can resume across tiers.
+    """
+    import time
+
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        gather_sum,
+        pack_adjacency,
+        vector_to_df,
+    )
+
+    t0 = time.time()
+    spark = g.dict_df.sparkSession
+    stats = IterationStats(kernel="gather")
+    n = g.n
+    if n == 0:
+        stats.converged = True
+        g.release()
+        return (
+            vector_to_df(
+                spark, np.empty(0, dtype=np.int64), np.empty(0), "rank", "double"
+            ),
+            stats,
+        )
+    # in-adjacency keyed by the RECEIVER: gather reads w[src] per edge
+    # and reduces per dst — message reduction without a shuffle
+    in_adj = pack_adjacency(g.edges_c, "dcid", "scid", n_part, ADJ_CHUNK)
+    deg_pdf = g.edges_c.groupBy("scid").count().toPandas()
+    out_deg = np.zeros(n, dtype=np.float64)
+    out_deg[deg_pdf["scid"].to_numpy()] = deg_pdf["count"].to_numpy()
+    # dangling vertices never appear as a src in in_adj; their 0 slot
+    # is never read, the guard only avoids a divide warning
+    inv_deg = np.where(out_deg > 0, 1.0 / np.maximum(out_deg, 1.0), 0.0)
+
+    teleport = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    start_iter = 0
+    if checkpoint_manager is not None:
+        resumed = checkpoint_manager.try_resume("pagerank")
+        if resumed is not None:
+            state_df, start_iter = resumed
+            pdf = state_df.select("id", "rank").toPandas()
+            rank = np.full(n, teleport, dtype=np.float64)
+            rank[g.cid_of(pdf["id"].to_numpy())] = pdf["rank"].to_numpy()
+    for i in range(start_iter + 1, max_iterations + 1):
+        t_iter = time.time()
+        msg = gather_sum(in_adj, "dcid", rank * inv_deg, n)
+        new_rank = teleport + damping * msg
+        max_delta = float(np.max(np.abs(new_rank - rank) / rank))
+        rank = new_rank
+        stats.iterations = i
+        metrics = {"max_delta": max_delta, "sec": round(time.time() - t_iter, 3)}
+        stats.history.append(metrics)
+        if checkpoint_manager is not None and i % checkpoint_every == 0:
+            checkpoint_manager.save(
+                "pagerank", vector_to_df(spark, g.orig_id, rank, "rank", "double"), i, metrics
+            )
+        if i >= 2 and max_delta < epsilon:
+            stats.converged = True
+            break
+    out = vector_to_df(spark, g.orig_id, rank, "rank", "double")
+    if checkpoint_manager is not None and stats.converged:
+        checkpoint_manager.save(
+            "pagerank", out, stats.iterations, {"converged": True}
+        )
+    g.release()
+    stats.wall_seconds = time.time() - t0
+    return out, stats
 
 
 def personalized_pagerank(

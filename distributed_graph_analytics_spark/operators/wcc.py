@@ -85,6 +85,7 @@ def weakly_connected_components(
     edges_canonical: bool = False,
     compact_ids: bool = False,
     min_label: bool = False,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (components(id LONG, component LONG), stats).
 
@@ -103,9 +104,35 @@ def weakly_connected_components(
     2|E|-row shuffle saved. Duplicate edges would only add duplicate
     max-merged messages (semantically harmless), so this is a pure
     traffic optimization, but the default stays defensive.
+
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    SPARK_GRAFT_GATHER_MAX_V (plans/gather.py — labels gathered with a
+    vectorized shuffle-free max/min per superstep, bit-exact integer
+    merge, identical iteration trajectory), else the shuffle-join
+    kernel below; "gather"/"shuffle" force a tier.
     """
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown wcc strategy {strategy!r}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            max_gather_vertices,
+        )
+
+        g = GatherGraph.build(edges)
+        if strategy == "gather" or g.n <= max_gather_vertices():
+            return _wcc_gather(
+                g,
+                max_iterations=max_iterations,
+                checkpoint_manager=checkpoint_manager,
+                checkpoint_every=checkpoint_every,
+                n_part=n_part,
+                edges_canonical=edges_canonical,
+                min_label=min_label,
+            )
+        g.release()
     # symmetric, deduped adjacency, packed into CSR-style array rows
     # keyed by the *sender* v (north star: "CSR-style adjacency
     # blocks"): per superstep the frontier joins |V|-ish packed rows
@@ -194,3 +221,97 @@ def weakly_connected_components(
     # nbrs is a localCheckpoint: blocks freed by ContextCleaner post-GC
     vertices.unpersist()
     return final.select("id", "component"), stats
+
+
+def _wcc_gather(
+    g,
+    max_iterations: int,
+    checkpoint_manager,
+    checkpoint_every: int,
+    n_part: int,
+    edges_canonical: bool,
+    min_label: bool,
+) -> tuple[DataFrame, IterationStats]:
+    """Gather-tier WCC (see plans/gather.py): identical label-propagation
+    semantics and iteration trajectory as the shuffle kernel — integer
+    max/min merge is bit-exact, and a full-adjacency gather sees a
+    superset of the frontier's messages whose extra candidates are
+    already-absorbed labels, so per-iteration labels (and therefore the
+    changed-count trajectory and halt) are identical. Each superstep is
+    one shuffle-free vectorized pass over the packed symmetric int32
+    adjacency. Checkpoints save/resume the same (id, component, changed)
+    state as the shuffle tier.
+    """
+    import time
+
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        gather_extreme,
+        pack_adjacency,
+        vector_to_df,
+    )
+
+    t0 = time.time()
+    spark = g.dict_df.sparkSession
+    stats = IterationStats(kernel="gather")
+    n = g.n
+    if n == 0:
+        stats.converged = True
+        g.release()
+        return (
+            vector_to_df(
+                spark,
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                "component",
+                "long",
+            ),
+            stats,
+        )
+    sym = g.edges_c.select(F.col("scid").alias("v"), F.col("dcid").alias("u")).union(
+        g.edges_c.select(F.col("dcid").alias("v"), F.col("scid").alias("u"))
+    )
+    if not edges_canonical:
+        sym = sym.distinct()
+    sym_adj = pack_adjacency(sym, "v", "u", n_part, ADJ_CHUNK)
+
+    labels = g.orig_id.copy()
+    merge = np.minimum if min_label else np.maximum
+    start_iter = 0
+    if checkpoint_manager is not None:
+        resumed = checkpoint_manager.try_resume("wcc")
+        if resumed is not None:
+            state_df, start_iter = resumed
+            pdf = state_df.select("id", "component").toPandas()
+            labels = g.orig_id.copy()
+            labels[g.cid_of(pdf["id"].to_numpy())] = pdf["component"].to_numpy()
+    for i in range(start_iter + 1, max_iterations + 1):
+        t_iter = time.time()
+        cand = gather_extreme(sym_adj, "v", labels, n, minimum=min_label)
+        new_labels = merge(labels, cand)
+        changed = int(np.count_nonzero(new_labels != labels))
+        labels = new_labels
+        stats.iterations = i
+        metrics = {"changed": changed, "sec": round(time.time() - t_iter, 3)}
+        stats.history.append(metrics)
+        if checkpoint_manager is not None and i % checkpoint_every == 0:
+            # carry a conservative changed=true so the shuffle tier can
+            # resume this state (its frontier re-sends everything once)
+            checkpoint_manager.save(
+                "wcc",
+                vector_to_df(spark, g.orig_id, labels, "component", "long").withColumn(
+                    "changed", F.lit(True)
+                ),
+                i,
+                metrics,
+            )
+        if changed == 0:
+            stats.converged = True
+            break
+    out = vector_to_df(spark, g.orig_id, labels, "component", "long")
+    if checkpoint_manager is not None and stats.converged:
+        checkpoint_manager.save("wcc", out, stats.iterations, {"converged": True})
+    g.release()
+    stats.wall_seconds = time.time() - t0
+    return out, stats

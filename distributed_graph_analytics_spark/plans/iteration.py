@@ -144,6 +144,9 @@ class IterationStats:
     converged: bool = False
     wall_seconds: float = 0.0
     history: list[dict] = field(default_factory=list)
+    #: which kernel tier ran ("shuffle" superstep joins or the
+    #: broadcast-"gather" vectorized kernel — see plans/gather.py)
+    kernel: str = "shuffle"
 
 
 class IterationController:

@@ -1,0 +1,186 @@
+"""Gather-tier parity: the broadcast-gather kernels (plans/gather.py)
+must produce identical results through the identical iteration
+trajectory as the plan-pinned shuffle kernels, and the auto tier must
+dispatch by |V| against the SPARK_GRAFT_GATHER_MAX_V cap."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_analytics_spark.operators.pagerank import pagerank
+from distributed_graph_analytics_spark.operators.wcc import (
+    weakly_connected_components,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # two components, parallel edges, a self-loop, a dangling sink and
+    # a small hub — every structural edge case the kernels dispatch on
+    e = spark.createDataFrame(
+        [
+            (1, 2, 1.0),
+            (2, 3, 1.0),
+            (3, 1, 1.0),
+            (3, 4, 1.0),
+            (3, 4, 1.0),  # parallel edge: counted twice in out_deg
+            (4, 4, 1.0),  # self-loop
+            (5, 6, 1.0),  # second component, 6 dangling
+            (10, 11, 1.0),
+            (10, 12, 1.0),
+            (10, 13, 1.0),
+            (13, 5, 1.0),
+        ],
+        "src long, dst long, weight double",
+    ).persist()
+    e.count()
+    return e
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_gather_matches_shuffle(graph):
+    g_ranks, g_stats = pagerank(graph, strategy="gather")
+    s_ranks, s_stats = pagerank(graph, strategy="shuffle")
+    assert g_stats.kernel == "gather" and s_stats.kernel == "shuffle"
+    # identical trajectory: same halt iteration, same per-iter deltas
+    assert g_stats.iterations == s_stats.iterations
+    assert g_stats.converged == s_stats.converged
+    for gh, sh in zip(g_stats.history, s_stats.history):
+        assert gh["max_delta"] == pytest.approx(sh["max_delta"], abs=1e-12)
+    gr, sr = _ranks(g_ranks), _ranks(s_ranks)
+    assert gr.keys() == sr.keys()
+    for k in gr:
+        assert gr[k] == pytest.approx(sr[k], abs=1e-12), k
+    assert dict(g_ranks.dtypes) == {"id": "bigint", "rank": "double"}
+
+
+def test_pagerank_gather_fixed_iterations(graph):
+    g_ranks, _ = pagerank(graph, epsilon=0.0, max_iterations=4, strategy="gather")
+    s_ranks, _ = pagerank(graph, epsilon=0.0, max_iterations=4, strategy="shuffle")
+    gr, sr = _ranks(g_ranks), _ranks(s_ranks)
+    for k in gr:
+        assert gr[k] == pytest.approx(sr[k], abs=1e-14), k
+
+
+@pytest.mark.parametrize("min_label", [False, True])
+def test_wcc_gather_matches_shuffle_exactly(graph, min_label):
+    g_comp, g_stats = weakly_connected_components(
+        graph, strategy="gather", min_label=min_label
+    )
+    s_comp, s_stats = weakly_connected_components(
+        graph, strategy="shuffle", min_label=min_label
+    )
+    assert g_stats.kernel == "gather" and s_stats.kernel == "shuffle"
+    assert sorted(map(tuple, g_comp.collect())) == sorted(
+        map(tuple, s_comp.collect())
+    )
+    # bit-exact integer merge → identical trajectory incl. changed counts
+    assert g_stats.iterations == s_stats.iterations
+    assert [h["changed"] for h in g_stats.history] == [
+        h["changed"] for h in s_stats.history
+    ]
+    assert dict(g_comp.dtypes) == {"id": "bigint", "component": "bigint"}
+
+
+def test_auto_tier_dispatch(graph, monkeypatch):
+    _, stats = weakly_connected_components(graph)
+    assert stats.kernel == "gather"  # 12 vertices, far under the cap
+    monkeypatch.setenv("SPARK_GRAFT_GATHER_MAX_V", "3")
+    _, stats = weakly_connected_components(graph)
+    assert stats.kernel == "shuffle"  # forced over the cap
+    _, stats = pagerank(graph)
+    assert stats.kernel == "shuffle"
+    monkeypatch.delenv("SPARK_GRAFT_GATHER_MAX_V")
+    _, stats = pagerank(graph)
+    assert stats.kernel == "gather"
+
+
+def test_gather_hub_chunking_partial_merge(spark, monkeypatch):
+    """Hub rows sliced to ADJ_CHUNK produce partial per-chunk reductions
+    that merge driver-side — scores must not depend on the chunking."""
+    import importlib
+
+    pr_mod = importlib.import_module(
+        "distributed_graph_analytics_spark.operators.pagerank"
+    )
+
+    edges = spark.createDataFrame(
+        [(100, d, 1.0) for d in range(1, 12)]
+        + [(d, 100, 1.0) for d in range(1, 12)],
+        "src long, dst long, weight double",
+    )
+    base = _ranks(pr_mod.pagerank(edges, max_iterations=5, strategy="gather")[0])
+    monkeypatch.setattr(pr_mod, "ADJ_CHUNK", 4)
+    split = _ranks(pr_mod.pagerank(edges, max_iterations=5, strategy="gather")[0])
+    assert base.keys() == split.keys()
+    for k in base:
+        assert base[k] == pytest.approx(split[k], abs=1e-12), k
+    comp = weakly_connected_components(edges, strategy="gather")[0]
+    assert {r["component"] for r in comp.collect()} == {100}
+
+
+def test_gather_checkpoint_resume(spark, tmp_path, graph):
+    """A gather run killed mid-convergence resumes from the durable
+    checkpoint and finishes with the full run's exact scores."""
+    from distributed_graph_analytics_spark.plans.checkpoint import CheckpointManager
+
+    full, _ = pagerank(graph, strategy="gather")
+    mgr = CheckpointManager(spark, str(tmp_path / "ck"))
+    partial, st1 = pagerank(
+        graph, strategy="gather", checkpoint_manager=mgr, checkpoint_every=2,
+        max_iterations=4, epsilon=0.0,
+    )
+    assert st1.iterations == 4
+    mgr2 = CheckpointManager(spark, str(tmp_path / "ck"))
+    resumed, st2 = pagerank(
+        graph, strategy="gather", checkpoint_manager=mgr2, checkpoint_every=2
+    )
+    assert st2.iterations > 4  # picked up past the saved iteration
+    fr, rr = _ranks(full), _ranks(resumed)
+    for k in fr:
+        assert fr[k] == pytest.approx(rr[k], abs=1e-12), k
+
+
+def test_gather_cross_tier_resume(spark, tmp_path, graph):
+    """A shuffle-tier checkpoint resumes under the gather tier (and the
+    state schemas stay interchangeable)."""
+    from distributed_graph_analytics_spark.plans.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "ck"))
+    weakly_connected_components(
+        graph, strategy="shuffle", checkpoint_manager=mgr, checkpoint_every=1,
+        max_iterations=1,
+    )
+    mgr2 = CheckpointManager(spark, str(tmp_path / "ck"))
+    resumed, st = weakly_connected_components(
+        graph, strategy="gather", checkpoint_manager=mgr2
+    )
+    full, _ = weakly_connected_components(graph, strategy="shuffle")
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_gather_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long, weight double")
+    ranks, st = pagerank(e, strategy="gather")
+    assert ranks.count() == 0 and st.converged
+    comp, st = weakly_connected_components(e, strategy="gather")
+    assert comp.count() == 0 and st.converged
+
+
+def test_gather_duplicate_edges_defensive_distinct(spark):
+    """Without edges_canonical the symmetric table dedups — parity with
+    the shuffle kernel's defensive distinct (labels are unaffected
+    either way; this pins the code path runs)."""
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, weight double"
+    )
+    for canonical in (False, True):
+        comp, _ = weakly_connected_components(
+            e, strategy="gather", edges_canonical=canonical
+        )
+        assert {r["component"] for r in comp.collect()} == {2}

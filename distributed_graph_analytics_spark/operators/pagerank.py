@@ -147,12 +147,16 @@ def pagerank(
     num_partitions: int | None = None,
     compact_ids: bool = False,
     strategy: str = "auto",
+    gather_graph=None,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (ranks(id LONG, rank DOUBLE), stats). ``compact_ids``
     packs adjacency arrays as int (caller asserts ids < 2^31; shuffle
     tier only). ``strategy``: "auto" picks the broadcast-gather kernel
     when |V| ≤ SPARK_GRAFT_GATHER_MAX_V (plans/gather.py tier cap) and
     the shuffle-join kernel above it; "gather"/"shuffle" force a tier.
+    ``gather_graph``: a prebuilt plans.gather.GatherGraph over the same
+    edges — shares the id dictionary and adjacency across operators
+    (implies the gather tier; caller keeps ownership/release).
     """
     if strategy not in ("auto", "gather", "shuffle"):
         raise ValueError(f"unknown pagerank strategy {strategy!r}")
@@ -164,8 +168,12 @@ def pagerank(
             max_gather_vertices,
         )
 
-        g = GatherGraph.build(edges)
-        if strategy == "gather" or g.n <= max_gather_vertices():
+        g = gather_graph or GatherGraph.build(edges)
+        if (
+            gather_graph is not None
+            or strategy == "gather"
+            or g.n <= max_gather_vertices()
+        ):
             return _pagerank_gather(
                 g,
                 damping=damping,
@@ -174,10 +182,10 @@ def pagerank(
                 checkpoint_manager=checkpoint_manager,
                 checkpoint_every=checkpoint_every,
                 n_part=n_part,
+                owned=gather_graph is None,
             )
-        # auto fallback above the tier cap: the dict pass is released
-        # and the plan-pinned shuffle kernel below takes over
-        g.release()
+        # auto fallback above the tier cap: the dictionary pass is
+        # discarded and the plan-pinned shuffle kernel below takes over
 
     # CSR-style adjacency blocks (north star: "range-partitioned
     # CSR-style adjacency blocks persisted per iteration"): out-edges
@@ -285,12 +293,14 @@ def _pagerank_gather(
     checkpoint_manager,
     checkpoint_every: int,
     n_part: int,
+    owned: bool = True,
 ) -> tuple[DataFrame, IterationStats]:
     """Gather-tier PageRank (see plans/gather.py and the module
     docstring): identical Giraph semantics and iteration trajectory as
     the shuffle kernel — same teleport/damping arithmetic, same
     ``i >= 2 and max_delta < ε`` halt — with each superstep one
-    shuffle-free vectorized pass over the packed int32 in-adjacency.
+    shuffle-free vectorized pass over the flat-sorted int32
+    in-adjacency.
 
     Checkpoints save/resume the same (id, rank) vertex-state DataFrame
     as the shuffle tier, so a run can resume across tiers.
@@ -301,31 +311,28 @@ def _pagerank_gather(
 
     from distributed_graph_analytics_spark.plans.gather import (
         gather_sum,
-        pack_adjacency,
         vector_to_df,
     )
 
     t0 = time.time()
-    spark = g.dict_df.sparkSession
+    spark = g.edges.sparkSession
     stats = IterationStats(kernel="gather")
     n = g.n
     if n == 0:
         stats.converged = True
-        g.release()
         return (
             vector_to_df(
                 spark, np.empty(0, dtype=np.int64), np.empty(0), "rank", "double"
             ),
             stats,
         )
-    # in-adjacency keyed by the RECEIVER: gather reads w[src] per edge
-    # and reduces per dst — message reduction without a shuffle
-    in_adj = pack_adjacency(g.edges_c, "dcid", "scid", n_part, ADJ_CHUNK)
-    deg_pdf = g.edges_c.groupBy("scid").count().toPandas()
-    out_deg = np.zeros(n, dtype=np.float64)
-    out_deg[deg_pdf["scid"].to_numpy()] = deg_pdf["count"].to_numpy()
-    # dangling vertices never appear as a src in in_adj; their 0 slot
-    # is never read, the guard only avoids a divide warning
+    # in-adjacency keyed by the RECEIVER: gather reads w[sender] per
+    # edge and reduces per receiver — message reduction with no
+    # per-superstep shuffle
+    in_adj = g.in_adjacency(n_part)
+    out_deg = g.out_degree(n_part)
+    # dangling vertices never appear as a sender in in_adj; their 0
+    # slot is never read, the guard only avoids a divide warning
     inv_deg = np.where(out_deg > 0, 1.0 / np.maximum(out_deg, 1.0), 0.0)
 
     teleport = (1.0 - damping) / n
@@ -340,7 +347,7 @@ def _pagerank_gather(
             rank[g.cid_of(pdf["id"].to_numpy())] = pdf["rank"].to_numpy()
     for i in range(start_iter + 1, max_iterations + 1):
         t_iter = time.time()
-        msg = gather_sum(in_adj, "dcid", rank * inv_deg, n)
+        msg = gather_sum(in_adj, rank * inv_deg, n)
         new_rank = teleport + damping * msg
         max_delta = float(np.max(np.abs(new_rank - rank) / rank))
         rank = new_rank
@@ -359,7 +366,8 @@ def _pagerank_gather(
         checkpoint_manager.save(
             "pagerank", out, stats.iterations, {"converged": True}
         )
-    g.release()
+    if owned:
+        g.release()
     stats.wall_seconds = time.time() - t0
     return out, stats
 

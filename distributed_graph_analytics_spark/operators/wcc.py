@@ -86,6 +86,7 @@ def weakly_connected_components(
     compact_ids: bool = False,
     min_label: bool = False,
     strategy: str = "auto",
+    gather_graph=None,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (components(id LONG, component LONG), stats).
 
@@ -109,7 +110,13 @@ def weakly_connected_components(
     SPARK_GRAFT_GATHER_MAX_V (plans/gather.py — labels gathered with a
     vectorized shuffle-free max/min per superstep, bit-exact integer
     merge, identical iteration trajectory), else the shuffle-join
-    kernel below; "gather"/"shuffle" force a tier.
+    kernel below; "gather"/"shuffle" force a tier. ``gather_graph``: a
+    prebuilt plans.gather.GatherGraph over the same edges — shares the
+    id dictionary and adjacency across operators (implies the gather
+    tier; caller keeps ownership/release). In the gather tier
+    ``edges_canonical`` is moot: integer max/min merges absorb
+    duplicate messages bit-identically, so the flat symmetric table is
+    never deduped.
     """
     if strategy not in ("auto", "gather", "shuffle"):
         raise ValueError(f"unknown wcc strategy {strategy!r}")
@@ -121,18 +128,21 @@ def weakly_connected_components(
             max_gather_vertices,
         )
 
-        g = GatherGraph.build(edges)
-        if strategy == "gather" or g.n <= max_gather_vertices():
+        g = gather_graph or GatherGraph.build(edges)
+        if (
+            gather_graph is not None
+            or strategy == "gather"
+            or g.n <= max_gather_vertices()
+        ):
             return _wcc_gather(
                 g,
                 max_iterations=max_iterations,
                 checkpoint_manager=checkpoint_manager,
                 checkpoint_every=checkpoint_every,
                 n_part=n_part,
-                edges_canonical=edges_canonical,
                 min_label=min_label,
+                owned=gather_graph is None,
             )
-        g.release()
     # symmetric, deduped adjacency, packed into CSR-style array rows
     # keyed by the *sender* v (north star: "CSR-style adjacency
     # blocks"): per superstep the frontier joins |V|-ish packed rows
@@ -229,8 +239,8 @@ def _wcc_gather(
     checkpoint_manager,
     checkpoint_every: int,
     n_part: int,
-    edges_canonical: bool,
     min_label: bool,
+    owned: bool = True,
 ) -> tuple[DataFrame, IterationStats]:
     """Gather-tier WCC (see plans/gather.py): identical label-propagation
     semantics and iteration trajectory as the shuffle kernel — integer
@@ -238,9 +248,11 @@ def _wcc_gather(
     superset of the frontier's messages whose extra candidates are
     already-absorbed labels, so per-iteration labels (and therefore the
     changed-count trajectory and halt) are identical. Each superstep is
-    one shuffle-free vectorized pass over the packed symmetric int32
-    adjacency. Checkpoints save/resume the same (id, component, changed)
-    state as the shuffle tier.
+    one shuffle-free vectorized pass over the flat-sorted symmetric
+    int32 adjacency (both directions as a narrow union of the in/out
+    tables — no dedup needed, max/min absorbs duplicates). Checkpoints
+    save/resume the same (id, component, changed) state as the shuffle
+    tier.
     """
     import time
 
@@ -248,17 +260,15 @@ def _wcc_gather(
 
     from distributed_graph_analytics_spark.plans.gather import (
         gather_extreme,
-        pack_adjacency,
         vector_to_df,
     )
 
     t0 = time.time()
-    spark = g.dict_df.sparkSession
+    spark = g.edges.sparkSession
     stats = IterationStats(kernel="gather")
     n = g.n
     if n == 0:
         stats.converged = True
-        g.release()
         return (
             vector_to_df(
                 spark,
@@ -269,12 +279,7 @@ def _wcc_gather(
             ),
             stats,
         )
-    sym = g.edges_c.select(F.col("scid").alias("v"), F.col("dcid").alias("u")).union(
-        g.edges_c.select(F.col("dcid").alias("v"), F.col("scid").alias("u"))
-    )
-    if not edges_canonical:
-        sym = sym.distinct()
-    sym_adj = pack_adjacency(sym, "v", "u", n_part, ADJ_CHUNK)
+    sym_adj = g.sym_adjacency(n_part)
 
     labels = g.orig_id.copy()
     merge = np.minimum if min_label else np.maximum
@@ -288,7 +293,7 @@ def _wcc_gather(
             labels[g.cid_of(pdf["id"].to_numpy())] = pdf["component"].to_numpy()
     for i in range(start_iter + 1, max_iterations + 1):
         t_iter = time.time()
-        cand = gather_extreme(sym_adj, "v", labels, n, minimum=min_label)
+        cand = gather_extreme(sym_adj, labels, n, minimum=min_label)
         new_labels = merge(labels, cand)
         changed = int(np.count_nonzero(new_labels != labels))
         labels = new_labels
@@ -312,6 +317,7 @@ def _wcc_gather(
     out = vector_to_df(spark, g.orig_id, labels, "component", "long")
     if checkpoint_manager is not None and stats.converged:
         checkpoint_manager.save("wcc", out, stats.iterations, {"converged": True})
-    g.release()
+    if owned:
+        g.release()
     stats.wall_seconds = time.time() - t0
     return out, stats

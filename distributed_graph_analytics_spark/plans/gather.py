@@ -1,6 +1,6 @@
 """Broadcast-gather superstep tier: vectorized per-vertex kernels over a
-partitioned adjacency, with the O(|V|) state vector broadcast per
-superstep.
+partitioned flat-sorted adjacency, with the O(|V|) state vector
+broadcast per superstep.
 
 The north star prescribes "a broadcast-or-shuffle hash join of messages
 against a partitioned vertex-state DataFrame with vectorized
@@ -9,19 +9,29 @@ pandas/Arrow UDFs for per-vertex update kernels". This module is the
 MLlib's gradient loops (driver-held coefficient vector, broadcast each
 iteration, partial aggregates streamed back):
 
-- the O(|E|) half (the packed adjacency) stays distributed,
-  hash-partitioned and checkpointed exactly like the shuffle tier;
+- the O(|E|) half stays distributed as FLAT ``(k int32, v int32)`` edge
+  rows, hash-partitioned by k and sorted within each partition — a
+  CSR layout without materialized arrays. The v1 design packed
+  ``collect_list`` array rows; its ObjectHashAggregate held every
+  group's growing array in a per-task hash map, and the pack dominated
+  the whole job (measured at 76.5M edges / pinned cores:
+  pr_build 206s/68.6s with 10-21%% of it GC — tools/_ab_gather_probe.py).
+  The flat build replaces that with one exchange + a numpy argsort in
+  the same Arrow pass that dictionary-encodes the ids: no JVM
+  aggregation, no array allocation churn;
 - the O(|V|) half (one float64/int64 per vertex) is broadcast as a raw
   numpy vector — ~8 bytes/vertex, NOT a per-row HashedRelation (the
   per-superstep broadcast that plans/join_strategy.py measured at
   ~5 s/iteration rebuilt a driver-side hash relation of Rows; a pickled
   10 MB ndarray ships in ~10s of ms);
 - each superstep is ONE shuffle-free stage: mapInArrow streams the
-  adjacency's list arrays as Arrow buffers, a numpy ``reduceat`` gather
-  computes every vertex's message reduction vectorized (no per-row
-  Python), and the O(|V|) partial results return through one Arrow
-  collect. Message reduction that the shuffle tier does in a
-  groupBy+exchange costs zero exchanges here.
+  sorted edge rows, ``reduceat`` over the run boundaries computes every
+  vertex's message reduction vectorized (no per-row Python), and ~|V|
+  partial results return through one Arrow collect (each key lives in
+  exactly one partition — the build's one exchange bought that — so the
+  only extra partials are per-Arrow-batch run splits, merged driver-side
+  by ``np.add.at``/``np.maximum.at``). Message reduction that the
+  shuffle tier does in a groupBy+exchange costs zero exchanges here.
 
 Tier boundary (the 100 TB honesty): the broadcast vector costs
 8·|V| bytes on every executor, so the tier is capped at
@@ -34,34 +44,38 @@ tests/test_adjacency_plan.py. Both tiers produce identical results
 (pinned by tests/test_gather_tier.py).
 
 Dense ids: gather indexes numpy vectors, so vertex ids are dictionary-
-encoded once per job to [0, |V|) — ``zipWithIndex`` (one count job +
-one map, no global sort), then the dictionary is broadcast-or-shuffle
-joined onto the edges. This is the same distributed-dictionary
-discipline as the string-id ingest path (sources/edges.py S2).
+encoded once per job to [0, |V|): per-partition ``np.unique`` partials
+stream back through one Arrow collect, the driver merges them into ONE
+sorted vector, and ``np.searchsorted`` against its broadcast does the
+encode inside the same pass that sorts the adjacency — the whole
+dictionary costs zero JVM shuffles (the v1 ``distinct``+``zipWithIndex``
+route paid a 2|E| exchange plus two Python-pickled RDD passes). The
+driver-side merge is bounded by the tier cap (≤ 256 MB of ids per
+partition partial).
 """
 
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from contextlib import contextmanager
+from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from distributed_graph_analytics_spark.plans.iteration import (
-    aqe_off,
-    hash_agg_pack,
-)
 
 #: broadcast-vector cap: 2^25 vertices = 256 MB of float64 per executor
 DEFAULT_MAX_GATHER_VERTICES = 1 << 25
 
-#: above this the id dictionary joins as a shuffle-hash join instead of
-#: a broadcast (the dictionary is ~20 bytes/vertex driver-side)
-DICT_BROADCAST_MAX = 8_000_000
+#: Arrow rows per batch for gather passes. The session default (10k)
+#: would hand the numpy kernels crumbs — per-batch overhead dominates
+#: and every batch boundary splits a run into an extra driver-merged
+#: partial. 2M rows = 16 MB of int32 pairs per batch.
+GATHER_BATCH_ROWS = 1 << 21
+
+#: output slice size for the build pass (bounds a single RecordBatch)
+_EMIT_ROWS = 1 << 22
 
 
 def max_gather_vertices() -> int:
@@ -70,127 +84,203 @@ def max_gather_vertices() -> int:
     )
 
 
+@contextmanager
+def arrow_batch(spark, rows: int):
+    """Scoped spark.sql.execution.arrow.maxRecordsPerBatch (read at
+    execution time, so it must wrap the ACTION, not the plan build)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(rows))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _col_np(batch, i):
+    return batch.column(i).to_numpy(zero_copy_only=False)
+
+
+def _uniq_fn(batches):
+    """Per-partition distinct ids (src ∪ dst), one sorted partial out."""
+    parts = []
+    for batch in batches:
+        parts.append(
+            np.unique(np.concatenate([_col_np(batch, 0), _col_np(batch, 1)]))
+        )
+    if parts:
+        u = np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+        yield pa.RecordBatch.from_arrays([pa.array(u, type=pa.int64())], ["id"])
+
+
+def _encode_sort_fn(uniq_bc, key_is_dst: bool):
+    """Build-pass kernel: dictionary-encode (searchsorted against the
+    broadcast sorted id vector) and sort the whole partition by the key
+    column, emitting flat (k, v) int32 rows. Buffers the partition —
+    per-batch sorting would leave each key's run split across ~#batches
+    chunks and multiply every superstep's returned partials by that
+    factor."""
+
+    def fn(batches):
+        uniq = uniq_bc.value
+        ks, vs = [], []
+        for batch in batches:
+            src = np.searchsorted(uniq, _col_np(batch, 0)).astype(np.int32)
+            dst = np.searchsorted(uniq, _col_np(batch, 1)).astype(np.int32)
+            ks.append(dst if key_is_dst else src)
+            vs.append(src if key_is_dst else dst)
+        if not ks:
+            return
+        k = np.concatenate(ks) if len(ks) > 1 else ks[0]
+        v = np.concatenate(vs) if len(vs) > 1 else vs[0]
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        for lo in range(0, len(k), _EMIT_ROWS):
+            sl = slice(lo, lo + _EMIT_ROWS)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(k[sl], type=pa.int32()), pa.array(v[sl], type=pa.int32())],
+                ["k", "v"],
+            )
+
+    return fn
+
+
+def _deg_fn(n: int):
+    """Out-degree partials over the in-adjacency: bincount the v column
+    (the sender) per partition, emit the nonzero (k, c) pairs."""
+
+    def fn(batches):
+        acc = np.zeros(n, dtype=np.int64)
+        got = False
+        for batch in batches:
+            got = True
+            acc += np.bincount(_col_np(batch, 1), minlength=n)
+        if got:
+            nz = np.flatnonzero(acc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz.astype(np.int32), type=pa.int32()),
+                 pa.array(acc[nz], type=pa.int64())],
+                ["k", "c"],
+            )
+
+    return fn
+
+
 @dataclass
 class GatherGraph:
     """Dense-id view of an edge table: the distributed half of the tier.
 
-    ``dict_df``: (id LONG, cid INT) persisted; ``edges_c``: (scid, dcid)
-    INT pairs (not materialized — consumed once per pack); ``n``: |V|;
-    ``orig_id``: numpy int64, cid → original id.
+    ``uniq``: sorted distinct original ids (int64) — cid IS the rank in
+    this vector, so ``orig_id`` is ``uniq`` itself and ``cid_of`` is a
+    searchsorted. Adjacency tables build lazily and are shared when one
+    ``GatherGraph`` serves several operators over the same edges (the
+    scaling worker runs PageRank then WCC on one graph: the dictionary
+    and the in-adjacency are built once).
     """
 
-    dict_df: DataFrame
-    edges_c: DataFrame
+    edges: DataFrame
+    uniq: np.ndarray
     n: int
-    orig_id: np.ndarray
+    _in_adj: DataFrame | None = field(default=None, repr=False)
+    _out_adj: DataFrame | None = field(default=None, repr=False)
+    _deg: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
     def build(cls, edges: DataFrame) -> "GatherGraph":
-        ids = (
-            edges.select(F.col("src").alias("id"))
-            .unionByName(edges.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-        # dense numbering without a global sort: one count job + one map
-        # (explicit schema: toDF's sampling inference dies on empty RDDs)
         spark = edges.sparkSession
-        dict_df = (
-            spark.createDataFrame(
-                ids.rdd.map(lambda r: r[0]).zipWithIndex(), "id long, cid long"
-            )
-            .select("id", F.col("cid").cast("int").alias("cid"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        n = dict_df.count()
-        sdict = dict_df.select(F.col("id").alias("src"), F.col("cid").alias("scid"))
-        ddict = dict_df.select(F.col("id").alias("dst"), F.col("cid").alias("dcid"))
-        if n <= DICT_BROADCAST_MAX:
-            sdict, ddict = F.broadcast(sdict), F.broadcast(ddict)
-        else:
-            sdict, ddict = sdict.hint("shuffle_hash"), ddict.hint("shuffle_hash")
-        edges_c = (
-            edges.join(sdict, "src").join(ddict, "dst").select("scid", "dcid")
-        )
-        ids_pdf = dict_df.toPandas()
-        orig_id = np.zeros(n, dtype=np.int64)
-        orig_id[ids_pdf["cid"].to_numpy()] = ids_pdf["id"].to_numpy()
-        return cls(dict_df=dict_df, edges_c=edges_c, n=n, orig_id=orig_id)
+        pairs = edges.select("src", "dst")
+        with arrow_batch(spark, GATHER_BATCH_ROWS):
+            pdf = pairs.mapInArrow(_uniq_fn, "id long").toPandas()
+        ids = pdf["id"].to_numpy()
+        uniq = np.unique(ids) if len(ids) else ids.astype(np.int64)
+        return cls(edges=edges, uniq=uniq, n=len(uniq))
+
+    @property
+    def orig_id(self) -> np.ndarray:
+        return self.uniq
 
     def cid_of(self, ids: np.ndarray) -> np.ndarray:
         """Original id → cid, driver-side (checkpoint resume path)."""
-        order = np.argsort(self.orig_id, kind="stable")
-        pos = np.searchsorted(self.orig_id[order], ids)
-        return order[pos].astype(np.int64)
+        return np.searchsorted(self.uniq, ids).astype(np.int64)
+
+    def _build_adj(self, key_is_dst: bool, n_part: int) -> DataFrame:
+        spark = self.edges.sparkSession
+        sc = spark.sparkContext
+        uniq_bc = sc.broadcast(self.uniq)
+        try:
+            part_key = "dst" if key_is_dst else "src"
+            adj = (
+                self.edges.select("src", "dst")
+                .repartition(n_part, part_key)
+                .mapInArrow(_encode_sort_fn(uniq_bc, key_is_dst), "k int, v int")
+            )
+            with arrow_batch(spark, GATHER_BATCH_ROWS):
+                return adj.localCheckpoint(eager=True)
+        finally:
+            # blocks referencing the broadcast are materialized by the
+            # eager checkpoint; the driver copy can go
+            uniq_bc.destroy()
+
+    def in_adjacency(self, n_part: int) -> DataFrame:
+        """(k=receiver, v=sender), each k in exactly one partition,
+        partition sorted by k. PageRank gathers Σ w[v] per k here."""
+        if self._in_adj is None:
+            self._in_adj = self._build_adj(key_is_dst=True, n_part=n_part)
+        return self._in_adj
+
+    def out_adjacency(self, n_part: int) -> DataFrame:
+        if self._out_adj is None:
+            self._out_adj = self._build_adj(key_is_dst=False, n_part=n_part)
+        return self._out_adj
+
+    def sym_adjacency(self, n_part: int) -> DataFrame:
+        """Both directions as one DataFrame: a narrow union of the two
+        sorted tables (partitions stay intact, so per-partition
+        sortedness — all reduceat needs — survives). Parallel edges are
+        NOT deduped: max/min merges absorb duplicates bit-identically,
+        so WCC's defensive ``distinct`` is unnecessary in this tier."""
+        return self.in_adjacency(n_part).union(self.out_adjacency(n_part))
+
+    def out_degree(self, n_part: int) -> np.ndarray:
+        """float64[n] out-degrees, from one bincount pass over the
+        cached in-adjacency (no JVM aggregation)."""
+        if self._deg is None:
+            spark = self.edges.sparkSession
+            adj = self.in_adjacency(n_part)
+            with arrow_batch(spark, GATHER_BATCH_ROWS):
+                pdf = adj.mapInArrow(_deg_fn(self.n), "k int, c long").toPandas()
+            deg = np.zeros(self.n, dtype=np.float64)
+            np.add.at(deg, pdf["k"].to_numpy(), pdf["c"].to_numpy())
+            self._deg = deg
+        return self._deg
 
     def release(self) -> None:
-        self.dict_df.unpersist()
-
-
-def pack_adjacency(
-    pairs: DataFrame, key: str, val: str, n_part: int, chunk: int
-) -> DataFrame:
-    """(key INT, vals ARRAY<INT>) packed + localCheckpoint'ed, same
-    layout discipline as the shuffle tier's CSR builds: one flat-row
-    exchange, pack groupBy clusters on it, hub rows sliced to ``chunk``
-    AFTER the pack (partial chunk sums merge driver-side via
-    ``np.add.at``/``np.maximum.at``), raw-row materialization under
-    aqe_off + hash_agg_pack (see operators/pagerank.build_out_adjacency
-    for each choice's measurement)."""
-    spark = pairs.sparkSession
-    packed = (
-        pairs.repartition(n_part, key)
-        .groupBy(key)
-        .agg(F.collect_list(val).alias("all_vals"))
-        .select(
-            key,
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        ((F.size("all_vals") - F.lit(1)) / F.lit(chunk)).cast("int"),
-                    ),
-                    lambda i: F.slice(
-                        F.col("all_vals"), i * F.lit(chunk) + F.lit(1), chunk
-                    ),
-                )
-            ).alias("vals"),
-        )
-    )
-    with aqe_off(spark), hash_agg_pack(spark):
-        return packed.localCheckpoint(eager=True)
+        """Drop references; localCheckpoint blocks are freed by the
+        ContextCleaner after the next periodic GC."""
+        self._in_adj = self._out_adj = None
+        self._deg = None
 
 
 def _segment_reduce(reducer, fill):
-    """Build a mapInArrow fn: per adjacency row, reduce the broadcast
-    vector over the row's neighbor list — ``reducer.reduceat`` over the
-    Arrow list buffers (flat values + offsets), fully vectorized."""
+    """Build a mapInArrow fn: reduce the broadcast vector over each run
+    of equal keys in the sorted flat rows — ``reducer.reduceat`` at the
+    run boundaries, fully vectorized. Runs split across Arrow batches
+    yield one partial per batch; the callers merge partials with the
+    same ufunc driver-side."""
 
     def make(w_bc, out_type):
         def fn(batches):
             w = w_bc.value
             for batch in batches:
-                keys = batch.column(0)
-                lists = batch.column(1)
-                flat = lists.flatten().to_numpy(zero_copy_only=False)
-                lengths = pa.compute.list_value_length(lists).to_numpy(
-                    zero_copy_only=False
-                )
-                starts = np.zeros(len(lengths), dtype=np.int64)
-                if len(lengths) > 1:
-                    np.cumsum(lengths[:-1], out=starts[1:])
-                vals = w[flat]
-                if len(vals):
-                    # reduceat quirk: an empty segment (starts[i] ==
-                    # starts[i+1]) yields vals[starts[i]], and a start at
-                    # len(vals) is out of bounds — clamp, then overwrite
-                    # empties with the reducer's identity. Packed rows
-                    # never have empty lists; this guards sliced hubs.
-                    out = reducer.reduceat(vals, np.minimum(starts, len(vals) - 1))
-                    out[lengths == 0] = fill
-                else:
-                    out = np.full(len(lengths), fill, dtype=vals.dtype)
+                keys = _col_np(batch, 0)
+                if len(keys) == 0:
+                    continue
+                starts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+                starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+                out = reducer.reduceat(w[_col_np(batch, 1)], starts)
                 yield pa.RecordBatch.from_arrays(
-                    [keys, pa.array(out, type=out_type)], ["k", "r"]
+                    [pa.array(keys[starts]), pa.array(out, type=out_type)],
+                    ["k", "r"],
                 )
 
         return fn
@@ -203,39 +293,39 @@ _max_reduce = _segment_reduce(np.maximum, np.iinfo(np.int64).min)
 _min_reduce = _segment_reduce(np.minimum, np.iinfo(np.int64).max)
 
 
-def gather_sum(adj: DataFrame, key: str, w: np.ndarray, n: int) -> np.ndarray:
-    """One shuffle-free superstep: Σ w[neighbor] per vertex → float64[n]."""
-    sc = adj.sparkSession.sparkContext
-    w_bc = sc.broadcast(w)
+def gather_sum(adj: DataFrame, w: np.ndarray, n: int) -> np.ndarray:
+    """One shuffle-free superstep: Σ w[v] per k → float64[n]."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(w)
     try:
-        pdf = adj.mapInArrow(
-            _sum_reduce(w_bc, pa.float64()), f"{key} int, r double"
-        ).toPandas()
+        with arrow_batch(spark, GATHER_BATCH_ROWS):
+            pdf = adj.mapInArrow(_sum_reduce(w_bc, pa.float64()), "k int, r double").toPandas()
     finally:
         w_bc.destroy()
     out = np.zeros(n, dtype=np.float64)
-    np.add.at(out, pdf[key].to_numpy(), pdf["r"].to_numpy())
+    np.add.at(out, pdf["k"].to_numpy(), pdf["r"].to_numpy())
     return out
 
 
 def gather_extreme(
-    adj: DataFrame, key: str, w: np.ndarray, n: int, minimum: bool = False
+    adj: DataFrame, w: np.ndarray, n: int, minimum: bool = False
 ) -> np.ndarray:
-    """max (or min) of w[neighbor] per vertex → int64[n]; vertices with
-    no adjacency row keep the reducer's identity value."""
-    sc = adj.sparkSession.sparkContext
+    """max (or min) of w[v] per k → int64[n]; vertices with no adjacency
+    row keep the reducer's identity value."""
+    spark = adj.sparkSession
     reducer, fill, ufunc = (
         (_min_reduce, np.iinfo(np.int64).max, np.minimum)
         if minimum
         else (_max_reduce, np.iinfo(np.int64).min, np.maximum)
     )
-    w_bc = sc.broadcast(w)
+    w_bc = spark.sparkContext.broadcast(w)
     try:
-        pdf = adj.mapInArrow(reducer(w_bc, pa.int64()), f"{key} int, r long").toPandas()
+        with arrow_batch(spark, GATHER_BATCH_ROWS):
+            pdf = adj.mapInArrow(reducer(w_bc, pa.int64()), "k int, r long").toPandas()
     finally:
         w_bc.destroy()
     out = np.full(n, fill, dtype=np.int64)
-    ufunc.at(out, pdf[key].to_numpy(), pdf["r"].to_numpy())
+    ufunc.at(out, pdf["k"].to_numpy(), pdf["r"].to_numpy())
     return out
 
 

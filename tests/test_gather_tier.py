@@ -98,13 +98,14 @@ def test_auto_tier_dispatch(graph, monkeypatch):
     assert stats.kernel == "gather"
 
 
-def test_gather_hub_chunking_partial_merge(spark, monkeypatch):
-    """Hub rows sliced to ADJ_CHUNK produce partial per-chunk reductions
-    that merge driver-side — scores must not depend on the chunking."""
+def test_gather_batch_split_partial_merge(spark, monkeypatch):
+    """A hub's run of equal keys split across tiny Arrow batches yields
+    per-batch partials that merge driver-side — scores must not depend
+    on the batch size."""
     import importlib
 
-    pr_mod = importlib.import_module(
-        "distributed_graph_analytics_spark.operators.pagerank"
+    gather_mod = importlib.import_module(
+        "distributed_graph_analytics_spark.plans.gather"
     )
 
     edges = spark.createDataFrame(
@@ -112,9 +113,9 @@ def test_gather_hub_chunking_partial_merge(spark, monkeypatch):
         + [(d, 100, 1.0) for d in range(1, 12)],
         "src long, dst long, weight double",
     )
-    base = _ranks(pr_mod.pagerank(edges, max_iterations=5, strategy="gather")[0])
-    monkeypatch.setattr(pr_mod, "ADJ_CHUNK", 4)
-    split = _ranks(pr_mod.pagerank(edges, max_iterations=5, strategy="gather")[0])
+    base = _ranks(pagerank(edges, max_iterations=5, strategy="gather")[0])
+    monkeypatch.setattr(gather_mod, "GATHER_BATCH_ROWS", 4)
+    split = _ranks(pagerank(edges, max_iterations=5, strategy="gather")[0])
     assert base.keys() == split.keys()
     for k in base:
         assert base[k] == pytest.approx(split[k], abs=1e-12), k
@@ -162,6 +163,29 @@ def test_gather_cross_tier_resume(spark, tmp_path, graph):
     assert sorted(map(tuple, resumed.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_shared_gather_graph(graph):
+    """One GatherGraph serves PageRank then WCC (the scaling worker's
+    shape): results identical to standalone runs, dictionary and
+    in-adjacency built once."""
+    from distributed_graph_analytics_spark.plans.gather import GatherGraph
+
+    g = GatherGraph.build(graph)
+    ranks_shared, st_pr = pagerank(graph, gather_graph=g)
+    in_adj_after_pr = g._in_adj
+    comp_shared, st_wcc = weakly_connected_components(graph, gather_graph=g)
+    assert st_pr.kernel == "gather" and st_wcc.kernel == "gather"
+    # WCC's sym adjacency reused PR's in-adjacency (same object, not rebuilt)
+    assert g._in_adj is in_adj_after_pr and in_adj_after_pr is not None
+    gr = _ranks(ranks_shared)
+    sr = _ranks(pagerank(graph, strategy="gather")[0])
+    for k in gr:
+        assert gr[k] == pytest.approx(sr[k], abs=1e-12), k
+    assert sorted(map(tuple, comp_shared.collect())) == sorted(
+        map(tuple, weakly_connected_components(graph, strategy="gather")[0].collect())
+    )
+    g.release()
 
 
 def test_gather_empty_graph(spark):

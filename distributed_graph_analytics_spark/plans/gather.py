@@ -1,5 +1,5 @@
 """Broadcast-gather superstep tier: vectorized per-vertex kernels over a
-partitioned flat-sorted adjacency, with the O(|V|) state vector
+partitioned blob-chunked adjacency, with the O(|V|) state vector
 broadcast per superstep.
 
 The north star prescribes "a broadcast-or-shuffle hash join of messages
@@ -9,29 +9,33 @@ pandas/Arrow UDFs for per-vertex update kernels". This module is the
 MLlib's gradient loops (driver-held coefficient vector, broadcast each
 iteration, partial aggregates streamed back):
 
-- the O(|E|) half stays distributed as FLAT ``(k int32, v int32)`` edge
-  rows, hash-partitioned by k and sorted within each partition — a
-  CSR layout without materialized arrays. The v1 design packed
-  ``collect_list`` array rows; its ObjectHashAggregate held every
-  group's growing array in a per-task hash map, and the pack dominated
-  the whole job (measured at 76.5M edges / pinned cores:
-  pr_build 206s/68.6s with 10-21%% of it GC — tools/_ab_gather_probe.py).
-  The flat build replaces that with one exchange + a numpy argsort in
-  the same Arrow pass that dictionary-encodes the ids: no JVM
-  aggregation, no array allocation churn;
+- the O(|E|) half stays distributed as CSR-style **blob chunks**: rows
+  of ``(kb binary, vb binary)`` holding ~8k dictionary-encoded int32
+  (key, neighbor) pairs each, range-partitioned by key and sorted
+  within each partition. Why blobs: Spark's row⇄Arrow bridge pays a
+  per-ROW cost, so 76.5M two-int rows cost ~25 s per superstep at 4
+  cores just in conversion (measured — the v2 flat-row design), and a
+  ``collect_list`` array pack pays an ObjectHashAggregate holding every
+  group's growing array in per-task hash maps (v1: the pack dominated
+  the whole job, 206s/68.6s at 76.5M edges with 10-21% GC). A blob row
+  crosses the bridge as one memcpy; numpy reads it back zero-copy with
+  ``np.frombuffer``. ~9k rows carry 76.5M edges;
+- the adjacency build never aggregates in the JVM: one Arrow pass
+  dictionary-encodes ids (``np.searchsorted`` against the broadcast
+  sorted id vector) and range-buckets them into per-bucket blobs, ONE
+  exchange moves those blobs (a shuffle of ~thousands of fat rows, not
+  |E| skinny ones), and a second Arrow pass merge-sorts each bucket;
 - the O(|V|) half (one float64/int64 per vertex) is broadcast as a raw
-  numpy vector — ~8 bytes/vertex, NOT a per-row HashedRelation (the
-  per-superstep broadcast that plans/join_strategy.py measured at
-  ~5 s/iteration rebuilt a driver-side hash relation of Rows; a pickled
-  10 MB ndarray ships in ~10s of ms);
+  numpy vector — ~8 bytes/vertex, NOT a per-row HashedRelation (a
+  per-superstep broadcast join rebuilt a driver-side hash relation of
+  Rows at ~5 s/iteration; a pickled 10 MB ndarray ships in ~10s of ms);
 - each superstep is ONE shuffle-free stage: mapInArrow streams the
-  sorted edge rows, ``reduceat`` over the run boundaries computes every
-  vertex's message reduction vectorized (no per-row Python), and ~|V|
-  partial results return through one Arrow collect (each key lives in
-  exactly one partition — the build's one exchange bought that — so the
-  only extra partials are per-Arrow-batch run splits, merged driver-side
-  by ``np.add.at``/``np.maximum.at``). Message reduction that the
-  shuffle tier does in a groupBy+exchange costs zero exchanges here.
+  blob chunks, ``reduceat`` over the run boundaries computes every
+  vertex's message reduction vectorized (no per-row Python), and each
+  task returns its partials as ONE blob row — the whole superstep
+  moves O(|V|) bytes through one Arrow collect. Message reduction that
+  the shuffle tier does in a groupBy+exchange costs zero exchanges and
+  zero per-row bridging here.
 
 Tier boundary (the 100 TB honesty): the broadcast vector costs
 8·|V| bytes on every executor, so the tier is capped at
@@ -44,14 +48,16 @@ tests/test_adjacency_plan.py. Both tiers produce identical results
 (pinned by tests/test_gather_tier.py).
 
 Dense ids: gather indexes numpy vectors, so vertex ids are dictionary-
-encoded once per job to [0, |V|): per-partition ``np.unique`` partials
-stream back through one Arrow collect, the driver merges them into ONE
-sorted vector, and ``np.searchsorted`` against its broadcast does the
-encode inside the same pass that sorts the adjacency — the whole
-dictionary costs zero JVM shuffles (the v1 ``distinct``+``zipWithIndex``
-route paid a 2|E| exchange plus two Python-pickled RDD passes). The
-driver-side merge is bounded by the tier cap (≤ 256 MB of ids per
-partition partial).
+encoded once per job to [0, |V|): a JVM ``distinct`` (map-side partial
+aggregation — only ~|V| rows reach the exchange) collects the id set,
+the driver sorts it, and cid IS the rank in that sorted vector, so
+``cid_of`` is a searchsorted and ``orig_id`` is the vector itself.
+
+Skew: range bucketing by cid spreads hubs' *receiving* work across the
+key space like any key partitioning; a single hub's in-segment lives in
+one partition but is processed as a streaming reduceat, not a hash map,
+and partials split across Arrow batches merge driver-side — no
+single-row array materialization anywhere.
 """
 
 from __future__ import annotations
@@ -68,14 +74,16 @@ from pyspark.sql import functions as F
 #: broadcast-vector cap: 2^25 vertices = 256 MB of float64 per executor
 DEFAULT_MAX_GATHER_VERTICES = 1 << 25
 
-#: Arrow rows per batch for gather passes. The session default (10k)
-#: would hand the numpy kernels crumbs — per-batch overhead dominates
-#: and every batch boundary splits a run into an extra driver-merged
-#: partial. 2M rows = 16 MB of int32 pairs per batch.
-GATHER_BATCH_ROWS = 1 << 21
+#: Arrow rows per batch when a gather pass reads RAW edge rows (the
+#: session default of 10k would hand the numpy kernels crumbs)
+RAW_BATCH_ROWS = 1 << 21
 
-#: output slice size for the build pass (bounds a single RecordBatch)
-_EMIT_ROWS = 1 << 22
+#: Arrow rows per batch when a pass reads blob rows (each blob row
+#: carries CHUNK_EDGES edges, so 256 rows ≈ 2M edges ≈ 16 MB)
+BLOB_BATCH_ROWS = 256
+
+#: edges per blob chunk (64 KB of int32 per column)
+CHUNK_EDGES = 1 << 13
 
 
 def max_gather_vertices() -> int:
@@ -101,28 +109,42 @@ def _col_np(batch, i):
     return batch.column(i).to_numpy(zero_copy_only=False)
 
 
-def _uniq_fn(batches):
-    """Per-partition distinct ids (src ∪ dst), one sorted partial out."""
-    parts = []
-    for batch in batches:
-        parts.append(
-            np.unique(np.concatenate([_col_np(batch, 0), _col_np(batch, 1)]))
-        )
-    if parts:
-        u = np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
-        yield pa.RecordBatch.from_arrays([pa.array(u, type=pa.int64())], ["id"])
+def _blob_np(cell, dtype):
+    """Zero-copy numpy view of one binary cell (pyarrow scalar)."""
+    return np.frombuffer(cell.as_buffer(), dtype=dtype)
 
 
-def _encode_sort_fn(uniq_bc, key_is_dst: bool):
-    """Build-pass kernel: dictionary-encode (searchsorted against the
-    broadcast sorted id vector) and sort the whole partition by the key
-    column, emitting flat (k, v) int32 rows. Buffers the partition —
-    per-batch sorting would leave each key's run split across ~#batches
-    chunks and multiply every superstep's returned partials by that
-    factor."""
+def _concat_blobs(batch, col, dtype):
+    """All binary cells of a column as one numpy array."""
+    column = batch.column(col)
+    parts = [_blob_np(column[i], dtype) for i in range(len(column))]
+    if not parts:
+        return np.empty(0, dtype=dtype)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _chunk_rows(k: np.ndarray, v: np.ndarray, extra=None):
+    """Slice two parallel arrays into CHUNK_EDGES-sized blob rows."""
+    pids, kbs, vbs = [], [], []
+    for lo in range(0, len(k), CHUNK_EDGES):
+        sl = slice(lo, lo + CHUNK_EDGES)
+        kbs.append(k[sl].tobytes())
+        vbs.append(v[sl].tobytes())
+        if extra is not None:
+            pids.append(extra)
+    return pids, kbs, vbs
+
+
+def _encode_bucket_fn(uniq_bc, key_is_dst: bool, n_part: int):
+    """Build pass A: dictionary-encode the raw (src, dst) rows with one
+    searchsorted per column, sort the partition by the key cid, and cut
+    it into range buckets (pid = key // bucket_width) emitted as blob
+    rows. The buckets, not the edges, are what the one exchange moves."""
 
     def fn(batches):
         uniq = uniq_bc.value
+        n = len(uniq)
+        width = -(-n // n_part) or 1  # ceil; >=1 guards n < n_part
         ks, vs = [], []
         for batch in batches:
             src = np.searchsorted(uniq, _col_np(batch, 0)).astype(np.int32)
@@ -135,32 +157,74 @@ def _encode_sort_fn(uniq_bc, key_is_dst: bool):
         v = np.concatenate(vs) if len(vs) > 1 else vs[0]
         order = np.argsort(k, kind="stable")
         k, v = k[order], v[order]
-        for lo in range(0, len(k), _EMIT_ROWS):
-            sl = slice(lo, lo + _EMIT_ROWS)
+        # bucket boundaries in the sorted key array
+        cuts = np.searchsorted(k, np.arange(1, n_part) * width)
+        pids_all, kbs_all, vbs_all = [], [], []
+        for pid, (lo, hi) in enumerate(
+            zip(np.concatenate(([0], cuts)), np.concatenate((cuts, [len(k)])))
+        ):
+            if hi > lo:
+                _, kbs, vbs = _chunk_rows(k[lo:hi], v[lo:hi])
+                pids_all.extend([pid] * len(kbs))
+                kbs_all.extend(kbs)
+                vbs_all.extend(vbs)
+        for lo in range(0, len(kbs_all), BLOB_BATCH_ROWS):
+            sl = slice(lo, lo + BLOB_BATCH_ROWS)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(k[sl], type=pa.int32()), pa.array(v[sl], type=pa.int32())],
-                ["k", "v"],
+                [
+                    pa.array(pids_all[sl], type=pa.int32()),
+                    pa.array(kbs_all[sl], type=pa.binary()),
+                    pa.array(vbs_all[sl], type=pa.binary()),
+                ],
+                ["pid", "kb", "vb"],
             )
 
     return fn
 
 
+def _merge_sort_fn(batches):
+    """Build pass B: concatenate the bucket's blob runs and sort once,
+    emitting the partition's final sorted blob chunks."""
+    ks, vs = [], []
+    for batch in batches:
+        ks.append(_concat_blobs(batch, 1, np.int32))
+        vs.append(_concat_blobs(batch, 2, np.int32))
+    if not ks:
+        return
+    k = np.concatenate(ks) if len(ks) > 1 else ks[0]
+    v = np.concatenate(vs) if len(vs) > 1 else vs[0]
+    if len(k) == 0:
+        return
+    order = np.argsort(k, kind="stable")
+    k, v = k[order], v[order]
+    _, kbs, vbs = _chunk_rows(k, v)
+    for lo in range(0, len(kbs), BLOB_BATCH_ROWS):
+        sl = slice(lo, lo + BLOB_BATCH_ROWS)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(kbs[sl], type=pa.binary()), pa.array(vbs[sl], type=pa.binary())],
+            ["kb", "vb"],
+        )
+
+
 def _deg_fn(n: int):
-    """Out-degree partials over the in-adjacency: bincount the v column
-    (the sender) per partition, emit the nonzero (k, c) pairs."""
+    """Out-degree partials over the in-adjacency blobs: bincount the
+    neighbor column per partition, emit the nonzero (cid, count) pairs
+    as one blob row."""
 
     def fn(batches):
         acc = np.zeros(n, dtype=np.int64)
         got = False
         for batch in batches:
             got = True
-            acc += np.bincount(_col_np(batch, 1), minlength=n)
+            acc += np.bincount(_concat_blobs(batch, 1, np.int32), minlength=n)
         if got:
             nz = np.flatnonzero(acc)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(nz.astype(np.int32), type=pa.int32()),
-                 pa.array(acc[nz], type=pa.int64())],
-                ["k", "c"],
+                [
+                    pa.array([nz.astype(np.int32).tobytes()], type=pa.binary()),
+                    pa.array([acc[nz].tobytes()], type=pa.binary()),
+                ],
+                ["kb", "cb"],
             )
 
     return fn
@@ -187,12 +251,14 @@ class GatherGraph:
 
     @classmethod
     def build(cls, edges: DataFrame) -> "GatherGraph":
-        spark = edges.sparkSession
-        pairs = edges.select("src", "dst")
-        with arrow_batch(spark, GATHER_BATCH_ROWS):
-            pdf = pairs.mapInArrow(_uniq_fn, "id long").toPandas()
-        ids = pdf["id"].to_numpy()
-        uniq = np.unique(ids) if len(ids) else ids.astype(np.int64)
+        ids = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .toPandas()["id"]
+            .to_numpy()
+        )
+        uniq = np.sort(ids) if len(ids) else ids.astype(np.int64)
         return cls(edges=edges, uniq=uniq, n=len(uniq))
 
     @property
@@ -205,25 +271,28 @@ class GatherGraph:
 
     def _build_adj(self, key_is_dst: bool, n_part: int) -> DataFrame:
         spark = self.edges.sparkSession
-        sc = spark.sparkContext
-        uniq_bc = sc.broadcast(self.uniq)
+        uniq_bc = spark.sparkContext.broadcast(self.uniq)
         try:
-            part_key = "dst" if key_is_dst else "src"
-            adj = (
+            bucketed = (
                 self.edges.select("src", "dst")
-                .repartition(n_part, part_key)
-                .mapInArrow(_encode_sort_fn(uniq_bc, key_is_dst), "k int, v int")
+                .mapInArrow(
+                    _encode_bucket_fn(uniq_bc, key_is_dst, n_part),
+                    "pid int, kb binary, vb binary",
+                )
+                .repartition(n_part, "pid")
+                .mapInArrow(_merge_sort_fn, "kb binary, vb binary")
             )
-            with arrow_batch(spark, GATHER_BATCH_ROWS):
-                return adj.localCheckpoint(eager=True)
+            with arrow_batch(spark, RAW_BATCH_ROWS):
+                return bucketed.localCheckpoint(eager=True)
         finally:
             # blocks referencing the broadcast are materialized by the
             # eager checkpoint; the driver copy can go
             uniq_bc.destroy()
 
     def in_adjacency(self, n_part: int) -> DataFrame:
-        """(k=receiver, v=sender), each k in exactly one partition,
-        partition sorted by k. PageRank gathers Σ w[v] per k here."""
+        """Blob chunks of (k=receiver, v=sender), keys range-bucketed so
+        each key lives in exactly one partition, partitions sorted by k.
+        PageRank gathers Σ w[v] per k here."""
         if self._in_adj is None:
             self._in_adj = self._build_adj(key_is_dst=True, n_part=n_part)
         return self._in_adj
@@ -235,7 +304,7 @@ class GatherGraph:
 
     def sym_adjacency(self, n_part: int) -> DataFrame:
         """Both directions as one DataFrame: a narrow union of the two
-        sorted tables (partitions stay intact, so per-partition
+        sorted blob tables (partitions stay intact, so per-partition
         sortedness — all reduceat needs — survives). Parallel edges are
         NOT deduped: max/min merges absorb duplicates bit-identically,
         so WCC's defensive ``distinct`` is unnecessary in this tier."""
@@ -243,14 +312,19 @@ class GatherGraph:
 
     def out_degree(self, n_part: int) -> np.ndarray:
         """float64[n] out-degrees, from one bincount pass over the
-        cached in-adjacency (no JVM aggregation)."""
+        cached in-adjacency blobs (no JVM aggregation)."""
         if self._deg is None:
             spark = self.edges.sparkSession
             adj = self.in_adjacency(n_part)
-            with arrow_batch(spark, GATHER_BATCH_ROWS):
-                pdf = adj.mapInArrow(_deg_fn(self.n), "k int, c long").toPandas()
+            with arrow_batch(spark, BLOB_BATCH_ROWS):
+                pdf = adj.mapInArrow(_deg_fn(self.n), "kb binary, cb binary").toPandas()
             deg = np.zeros(self.n, dtype=np.float64)
-            np.add.at(deg, pdf["k"].to_numpy(), pdf["c"].to_numpy())
+            for kb, cb in zip(pdf["kb"], pdf["cb"]):
+                np.add.at(
+                    deg,
+                    np.frombuffer(kb, dtype=np.int32),
+                    np.frombuffer(cb, dtype=np.int64),
+                )
             self._deg = deg
         return self._deg
 
@@ -261,26 +335,31 @@ class GatherGraph:
         self._deg = None
 
 
-def _segment_reduce(reducer, fill):
+def _segment_reduce(reducer):
     """Build a mapInArrow fn: reduce the broadcast vector over each run
-    of equal keys in the sorted flat rows — ``reducer.reduceat`` at the
-    run boundaries, fully vectorized. Runs split across Arrow batches
-    yield one partial per batch; the callers merge partials with the
-    same ufunc driver-side."""
+    of equal keys in the sorted blob chunks — ``reducer.reduceat`` at
+    the run boundaries, fully vectorized. Each Arrow batch returns ONE
+    blob row of (distinct keys, partials); runs split across batches
+    or partitions merge driver-side with the same ufunc."""
 
-    def make(w_bc, out_type):
+    def make(w_bc, out_dtype):
         def fn(batches):
             w = w_bc.value
             for batch in batches:
-                keys = _col_np(batch, 0)
+                keys = _concat_blobs(batch, 0, np.int32)
                 if len(keys) == 0:
                     continue
                 starts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
                 starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
-                out = reducer.reduceat(w[_col_np(batch, 1)], starts)
+                out = reducer.reduceat(
+                    w[_concat_blobs(batch, 1, np.int32)], starts
+                ).astype(out_dtype, copy=False)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(keys[starts]), pa.array(out, type=out_type)],
-                    ["k", "r"],
+                    [
+                        pa.array([keys[starts].tobytes()], type=pa.binary()),
+                        pa.array([out.tobytes()], type=pa.binary()),
+                    ],
+                    ["kb", "rb"],
                 )
 
         return fn
@@ -288,23 +367,30 @@ def _segment_reduce(reducer, fill):
     return make
 
 
-_sum_reduce = _segment_reduce(np.add, 0.0)
-_max_reduce = _segment_reduce(np.maximum, np.iinfo(np.int64).min)
-_min_reduce = _segment_reduce(np.minimum, np.iinfo(np.int64).max)
+_sum_reduce = _segment_reduce(np.add)
+_max_reduce = _segment_reduce(np.maximum)
+_min_reduce = _segment_reduce(np.minimum)
+
+
+def _run_gather(adj, w, n, make, out_dtype, init, merge_ufunc):
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(w)
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(make(w_bc, out_dtype), "kb binary, rb binary").toPandas()
+    finally:
+        w_bc.destroy()
+    out = np.full(n, init, dtype=out_dtype)
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        merge_ufunc.at(
+            out, np.frombuffer(kb, dtype=np.int32), np.frombuffer(rb, dtype=out_dtype)
+        )
+    return out
 
 
 def gather_sum(adj: DataFrame, w: np.ndarray, n: int) -> np.ndarray:
     """One shuffle-free superstep: Σ w[v] per k → float64[n]."""
-    spark = adj.sparkSession
-    w_bc = spark.sparkContext.broadcast(w)
-    try:
-        with arrow_batch(spark, GATHER_BATCH_ROWS):
-            pdf = adj.mapInArrow(_sum_reduce(w_bc, pa.float64()), "k int, r double").toPandas()
-    finally:
-        w_bc.destroy()
-    out = np.zeros(n, dtype=np.float64)
-    np.add.at(out, pdf["k"].to_numpy(), pdf["r"].to_numpy())
-    return out
+    return _run_gather(adj, w, n, _sum_reduce, np.float64, 0.0, np.add)
 
 
 def gather_extreme(
@@ -312,21 +398,13 @@ def gather_extreme(
 ) -> np.ndarray:
     """max (or min) of w[v] per k → int64[n]; vertices with no adjacency
     row keep the reducer's identity value."""
-    spark = adj.sparkSession
-    reducer, fill, ufunc = (
-        (_min_reduce, np.iinfo(np.int64).max, np.minimum)
-        if minimum
-        else (_max_reduce, np.iinfo(np.int64).min, np.maximum)
+    if minimum:
+        return _run_gather(
+            adj, w, n, _min_reduce, np.int64, np.iinfo(np.int64).max, np.minimum
+        )
+    return _run_gather(
+        adj, w, n, _max_reduce, np.int64, np.iinfo(np.int64).min, np.maximum
     )
-    w_bc = spark.sparkContext.broadcast(w)
-    try:
-        with arrow_batch(spark, GATHER_BATCH_ROWS):
-            pdf = adj.mapInArrow(reducer(w_bc, pa.int64()), "k int, r long").toPandas()
-    finally:
-        w_bc.destroy()
-    out = np.full(n, fill, dtype=np.int64)
-    ufunc.at(out, pdf["k"].to_numpy(), pdf["r"].to_numpy())
-    return out
 
 
 def vector_to_df(

@@ -99,9 +99,9 @@ def test_auto_tier_dispatch(graph, monkeypatch):
 
 
 def test_gather_batch_split_partial_merge(spark, monkeypatch):
-    """A hub's run of equal keys split across tiny Arrow batches yields
-    per-batch partials that merge driver-side — scores must not depend
-    on the batch size."""
+    """A hub's run of equal keys split across tiny blob chunks and tiny
+    Arrow batches yields partials that merge driver-side — scores must
+    not depend on the chunking."""
     import importlib
 
     gather_mod = importlib.import_module(
@@ -114,7 +114,8 @@ def test_gather_batch_split_partial_merge(spark, monkeypatch):
         "src long, dst long, weight double",
     )
     base = _ranks(pagerank(edges, max_iterations=5, strategy="gather")[0])
-    monkeypatch.setattr(gather_mod, "GATHER_BATCH_ROWS", 4)
+    monkeypatch.setattr(gather_mod, "CHUNK_EDGES", 4)
+    monkeypatch.setattr(gather_mod, "BLOB_BATCH_ROWS", 2)
     split = _ranks(pagerank(edges, max_iterations=5, strategy="gather")[0])
     assert base.keys() == split.keys()
     for k in base:

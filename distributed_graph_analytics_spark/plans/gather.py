@@ -49,9 +49,17 @@ tests/test_adjacency_plan.py. Both tiers produce identical results
 
 Dense ids: gather indexes numpy vectors, so vertex ids are dictionary-
 encoded once per job to [0, |V|): a JVM ``distinct`` (map-side partial
-aggregation — only ~|V| rows reach the exchange) collects the id set,
-the driver sorts it, and cid IS the rank in that sorted vector, so
+aggregation — only ~|V| rows reach the exchange, and the raw edges
+never cross the row-Arrow bridge for this) collects the id set, the
+driver sorts it, and cid IS the rank in that sorted vector, so
 ``cid_of`` is a searchsorted and ``orig_id`` is the vector itself.
+An Arrow per-partition ``np.unique`` variant was probed and REJECTED:
+it pays a full raw-edge bridge pass (~25s/4 cores at 76.5M edges) on
+top of the one pass A already pays — the whole build's dominant cost
+is exactly that bridge, so it must be paid once, not twice. The second
+adjacency direction never re-reads the raw edges either: it derives
+from the first direction's blobs by a swap + re-bucket
+(``_swap_bucket_fn``).
 
 Skew: range bucketing by cid spreads hubs' *receiving* work across the
 key space like any key partitioning; a single hub's in-segment lives in
@@ -155,29 +163,74 @@ def _encode_bucket_fn(uniq_bc, key_is_dst: bool, n_part: int):
             return
         k = np.concatenate(ks) if len(ks) > 1 else ks[0]
         v = np.concatenate(vs) if len(vs) > 1 else vs[0]
-        order = np.argsort(k, kind="stable")
-        k, v = k[order], v[order]
-        # bucket boundaries in the sorted key array
-        cuts = np.searchsorted(k, np.arange(1, n_part) * width)
-        pids_all, kbs_all, vbs_all = [], [], []
-        for pid, (lo, hi) in enumerate(
-            zip(np.concatenate(([0], cuts)), np.concatenate((cuts, [len(k)])))
-        ):
-            if hi > lo:
-                _, kbs, vbs = _chunk_rows(k[lo:hi], v[lo:hi])
-                pids_all.extend([pid] * len(kbs))
-                kbs_all.extend(kbs)
-                vbs_all.extend(vbs)
-        for lo in range(0, len(kbs_all), BLOB_BATCH_ROWS):
-            sl = slice(lo, lo + BLOB_BATCH_ROWS)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(pids_all[sl], type=pa.int32()),
-                    pa.array(kbs_all[sl], type=pa.binary()),
-                    pa.array(vbs_all[sl], type=pa.binary()),
-                ],
-                ["pid", "kb", "vb"],
-            )
+        yield from _emit_buckets(k, v, width, n_part)
+
+    return fn
+
+
+def _sort_pairs(k: np.ndarray, v: np.ndarray):
+    """Sort (k, v) by k via ONE packed-int64 radix sort (np stable sort
+    on ints): an argsort materializes an 8-byte index array and pays
+    two random fancy-gathers to apply it — the pack is one sequential
+    radix pass plus vectorized shifts, about half the memory traffic,
+    which is what the 4-concurrent-task build legs are bound by. Within
+    a key's run this orders by v instead of input order: the gather
+    reducers (sum/max/min) are commutative, so results differ only by
+    float summation order (≤1e-14, inside the tier-parity pins)."""
+    packed = (k.astype(np.int64) << 32) | v.astype(np.int64)
+    packed.sort(kind="stable")
+    return (packed >> 32).astype(np.int32), (packed & 0x7FFFFFFF).astype(np.int32)
+
+
+def _emit_buckets(k: np.ndarray, v: np.ndarray, width: int, n_part: int):
+    """Sort (k, v) by k, cut into range buckets (pid = k // width), and
+    emit (pid, kb, vb) blob rows batched for the bucket exchange."""
+    k, v = _sort_pairs(k, v)
+    # bucket boundaries in the sorted key array
+    cuts = np.searchsorted(k, np.arange(1, n_part) * width)
+    pids_all, kbs_all, vbs_all = [], [], []
+    for pid, (lo, hi) in enumerate(
+        zip(np.concatenate(([0], cuts)), np.concatenate((cuts, [len(k)])))
+    ):
+        if hi > lo:
+            _, kbs, vbs = _chunk_rows(k[lo:hi], v[lo:hi])
+            pids_all.extend([pid] * len(kbs))
+            kbs_all.extend(kbs)
+            vbs_all.extend(vbs)
+    for lo in range(0, len(kbs_all), BLOB_BATCH_ROWS):
+        sl = slice(lo, lo + BLOB_BATCH_ROWS)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(pids_all[sl], type=pa.int32()),
+                pa.array(kbs_all[sl], type=pa.binary()),
+                pa.array(vbs_all[sl], type=pa.binary()),
+            ],
+            ["pid", "kb", "vb"],
+        )
+
+
+def _swap_bucket_fn(n: int, n_part: int):
+    """Reverse-direction build pass over ALREADY-BUILT blobs: read the
+    sorted (k, v) chunks of one direction and re-bucket them keyed by
+    the neighbor column. The raw-edge Arrow bridge and the dictionary
+    encode are paid once per graph (on the first direction); the second
+    direction is a blob-speed re-shuffle of ~|E| already-encoded int32
+    pairs."""
+    width = -(-n // n_part) or 1
+
+    def fn(batches):
+        ks, vs = [], []
+        for batch in batches:
+            ks.append(_concat_blobs(batch, 0, np.int32))
+            vs.append(_concat_blobs(batch, 1, np.int32))
+        if not ks:
+            return
+        # swapped: the neighbor column becomes the key
+        k = np.concatenate(vs) if len(vs) > 1 else vs[0]
+        v = np.concatenate(ks) if len(ks) > 1 else ks[0]
+        if len(k) == 0:
+            return
+        yield from _emit_buckets(k, v, width, n_part)
 
     return fn
 
@@ -195,8 +248,7 @@ def _merge_sort_fn(batches):
     v = np.concatenate(vs) if len(vs) > 1 else vs[0]
     if len(k) == 0:
         return
-    order = np.argsort(k, kind="stable")
-    k, v = k[order], v[order]
+    k, v = _sort_pairs(k, v)
     _, kbs, vbs = _chunk_rows(k, v)
     for lo in range(0, len(kbs), BLOB_BATCH_ROWS):
         sl = slice(lo, lo + BLOB_BATCH_ROWS)
@@ -298,8 +350,25 @@ class GatherGraph:
         return self._in_adj
 
     def out_adjacency(self, n_part: int) -> DataFrame:
+        """(k=sender, v=receiver) blobs. When the in-adjacency is
+        already built (the WCC-after-PageRank pipeline), derived from
+        its blobs by a swap + re-bucket — no second raw-edge bridge
+        pass, no second dictionary encode."""
         if self._out_adj is None:
-            self._out_adj = self._build_adj(key_is_dst=False, n_part=n_part)
+            if self._in_adj is not None:
+                spark = self.edges.sparkSession
+                bucketed = (
+                    self._in_adj.mapInArrow(
+                        _swap_bucket_fn(self.n, n_part),
+                        "pid int, kb binary, vb binary",
+                    )
+                    .repartition(n_part, "pid")
+                    .mapInArrow(_merge_sort_fn, "kb binary, vb binary")
+                )
+                with arrow_batch(spark, BLOB_BATCH_ROWS):
+                    self._out_adj = bucketed.localCheckpoint(eager=True)
+            else:
+                self._out_adj = self._build_adj(key_is_dst=False, n_part=n_part)
         return self._out_adj
 
     def sym_adjacency(self, n_part: int) -> DataFrame:

@@ -48,6 +48,13 @@ def main():
     # BOTH legs identically — same job, same sizing rule, two
     # parallelism levels.
     mult = int(os.environ.get("SPARK_GRAFT_PART_MULT", "3"))
+    # SPARK_GRAFT_PARTS fixes the partition count independently of the
+    # core count: a real N -> 4N cluster experiment varies EXECUTORS
+    # over one partitioned table, it does not re-layout the data per
+    # cluster size. The evidence pair sets parts = mult * 4N for both
+    # legs (the small leg runs more waves of the same tasks); unset,
+    # the standalone default remains mult * cores.
+    parts = int(os.environ.get("SPARK_GRAFT_PARTS", "0")) or mult * cpus
 
     from distributed_graph_analytics_spark.session import get_spark
     from distributed_graph_analytics_spark.operators.pagerank import pagerank
@@ -58,7 +65,7 @@ def main():
     spark = get_spark(
         f"dga-scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=mult * cpus,
+        shuffle_partitions=parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -67,23 +74,29 @@ def main():
     )
     n_edges = edges.count()
 
-    # one GatherGraph serves both operators when the gather tier
-    # applies (the id dictionary and in-adjacency are shared, the way a
-    # real pipeline would run two analytics over one encoded graph).
-    # Built INSIDE the PR timed window — the dictionary cost stays in
-    # the measurement. Above the tier cap both calls take the
-    # plan-pinned shuffle kernels, exactly as before.
-    from distributed_graph_analytics_spark.plans.gather import (
-        GatherGraph,
-        max_gather_vertices,
-    )
-
+    # SPARK_GRAFT_TIER picks the measured kernel tier:
+    #   shuffle (default) — the large-|V| tier, i.e. the one the
+    #     10^12-file north-star graph runs (its |V| is far above the
+    #     gather tier's broadcast cap), so the N -> 4N evidence
+    #     measures the kernel that a real cluster-size experiment
+    #     would exercise;
+    #   gather — the small-|V| broadcast-gather accelerator (driver-
+    #     held state vector; its per-superstep driver work makes a
+    #     single-box core-scaling ratio measure the driver, not the
+    #     cluster plan). Its throughput is recorded by bench.py and
+    #     the exploratory pairs in BENCH/BASELINE.md.
+    tier = os.environ.get("SPARK_GRAFT_TIER", "shuffle")
+    g = None
     t0 = time.time()
-    g = GatherGraph.build(edges)
-    if g.n > max_gather_vertices():
-        g, tier = None, "shuffle"
-    else:
-        tier = "auto"
+    if tier != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            max_gather_vertices,
+        )
+
+        g = GatherGraph.build(edges)
+        if g.n > max_gather_vertices():
+            g, tier = None, "shuffle"
     ranks, pr_stats = pagerank(edges, gather_graph=g, strategy=tier)
     n_v = ranks.count()
     pr_sec = time.time() - t0
@@ -115,6 +128,7 @@ def main():
                 "wcc_sec": round(wcc_sec, 3),
                 "pr_iters": pr_stats.iterations,
                 "wcc_iters": wcc_stats.iterations,
+                "tier": tier,
                 "pr_iter_sec": pr_iter_sec,
                 "wcc_iter_sec": round(
                     sum(h.get("sec", 0.0) for h in wcc_stats.history), 3

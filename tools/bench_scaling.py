@@ -79,6 +79,8 @@ def load_prior(
         or s.get("replicate", replicate) != replicate
         or s.get("pinned") != (os.environ.get("SPARK_GRAFT_PIN", "0") == "1")
         or s.get("sf_dir", sf_dir) != sf_dir
+        or str(s.get("parts", "")) != os.environ.get("SPARK_GRAFT_PARTS", str(s.get("parts", "")))
+        or s.get("tier", "shuffle") != os.environ.get("SPARK_GRAFT_TIER", "shuffle")
     ):
         return None
     return s
@@ -162,6 +164,10 @@ def main():
     n_big = 4 * n_small
 
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    # identical data layout for both legs: parts = mult * 4N (a cluster
+    # experiment varies executors, not the table's partitioning)
+    mult = int(os.environ.get("SPARK_GRAFT_PART_MULT", "3"))
+    os.environ.setdefault("SPARK_GRAFT_PARTS", str(mult * n_big))
     res_small, res_big = run_interleaved(n_small, n_big, sf_dir, replicate, repeats)
 
     t_small = res_small["pr_sec"] + res_small["wcc_sec"]
@@ -181,6 +187,8 @@ def main():
         "efficiency_phase_min": _phase_min_eff(res_small, res_big),
         "replicate": replicate,
         "sf_dir": sf_dir,
+        "parts": int(os.environ["SPARK_GRAFT_PARTS"]),
+        "tier": res_big.get("tier", "shuffle"),
         "pinned": os.environ.get("SPARK_GRAFT_PIN", "0") == "1",
         "detail": {"n": res_small, "4n": res_big},
     }

@@ -165,11 +165,18 @@ def pagerank(
     if strategy != "shuffle":
         from distributed_graph_analytics_spark.plans.gather import (
             GatherGraph,
+            gather_tier_applies,
             max_gather_vertices,
         )
 
-        g = gather_graph or GatherGraph.build(edges)
-        if (
+        # auto mode pre-checks the cap with one HLL aggregate BEFORE
+        # building the id dictionary — GatherGraph.build collects
+        # 8·|V| bytes to the driver, which must never happen for a
+        # graph the cap will reject (gather.py::gather_tier_applies)
+        g = gather_graph
+        if g is None and (strategy == "gather" or gather_tier_applies(edges)):
+            g = GatherGraph.build(edges)
+        if g is not None and (
             gather_graph is not None
             or strategy == "gather"
             or g.n <= max_gather_vertices()

@@ -100,6 +100,25 @@ def max_gather_vertices() -> int:
     )
 
 
+def gather_tier_applies(edges: DataFrame) -> bool:
+    """Cheap pre-check for ``strategy="auto"``: is |V| under the tier
+    cap? Uses one aggregate-only scan (``approx_count_distinct``, HLL
+    sketch — partial-agg, bytes through the exchange, nothing to the
+    driver) with a 10% safety margin under the cap. Without this, auto
+    dispatch would run ``GatherGraph.build``'s distinct+collect — an
+    8·|V|-byte driver transfer that a 10^9-vertex graph turns into
+    gigabytes — only to discard it above the cap. The margin makes the
+    5%-rsd sketch conservative; a graph that slips through marginally
+    over the cap still runs correctly (the broadcast vector is just a
+    few % larger than the cap's budget)."""
+    approx_n = (
+        edges.select(F.explode(F.array("src", "dst")).alias("id"))
+        .agg(F.approx_count_distinct("id").alias("n"))
+        .collect()[0]["n"]
+    )
+    return approx_n <= int(0.9 * max_gather_vertices())
+
+
 @contextmanager
 def arrow_batch(spark, rows: int):
     """Scoped spark.sql.execution.arrow.maxRecordsPerBatch (read at

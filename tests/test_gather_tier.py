@@ -98,6 +98,24 @@ def test_auto_tier_dispatch(graph, monkeypatch):
     assert stats.kernel == "gather"
 
 
+def test_auto_dispatch_never_builds_dictionary_above_cap(graph, monkeypatch):
+    """Above the cap, auto mode must decide from the HLL pre-check
+    alone — GatherGraph.build's distinct+collect (8·|V| bytes to the
+    driver) must never run for a graph the cap rejects."""
+    import distributed_graph_analytics_spark.plans.gather as G
+
+    monkeypatch.setenv("SPARK_GRAFT_GATHER_MAX_V", "3")
+
+    def boom(cls, edges):
+        raise AssertionError("dictionary built for an above-cap graph")
+
+    monkeypatch.setattr(G.GatherGraph, "build", classmethod(boom))
+    _, stats = weakly_connected_components(graph)
+    assert stats.kernel == "shuffle"
+    _, stats = pagerank(graph)
+    assert stats.kernel == "shuffle"
+
+
 def test_gather_batch_split_partial_merge(spark, monkeypatch):
     """A hub's run of equal keys split across tiny blob chunks and tiny
     Arrow batches yields partials that merge driver-side — scores must

@@ -148,6 +148,7 @@ def pagerank(
     compact_ids: bool = False,
     strategy: str = "auto",
     gather_graph=None,
+    shuffle_graph=None,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (ranks(id LONG, rank DOUBLE), stats). ``compact_ids``
     packs adjacency arrays as int (caller asserts ids < 2^31; shuffle
@@ -157,12 +158,17 @@ def pagerank(
     ``gather_graph``: a prebuilt plans.gather.GatherGraph over the same
     edges — shares the id dictionary and adjacency across operators
     (implies the gather tier; caller keeps ownership/release).
+    ``shuffle_graph``: a plans.adjacency.ShuffleGraph over the same
+    edges — the shuffle tier's sharing twin (implies the shuffle tier;
+    its ``compact_ids`` governs; caller keeps ownership/release). The
+    packed out-adjacency and the vertex set are built at most once
+    across every operator sharing the instance.
     """
     if strategy not in ("auto", "gather", "shuffle"):
         raise ValueError(f"unknown pagerank strategy {strategy!r}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if strategy != "shuffle":
+    if shuffle_graph is None and strategy != "shuffle":
         from distributed_graph_analytics_spark.plans.gather import (
             GatherGraph,
             gather_tier_applies,
@@ -201,31 +207,40 @@ def pagerank(
     # this shrinks the per-superstep cache scan ~3x (one row + one
     # packed array per source instead of out_deg rows) and the state
     # join probes |V|-ish rows instead of |E|.
-    adj = build_out_adjacency(edges, n_part, compact_ids=compact_ids)
-    # materialize via localCheckpoint, not persist: RDD blocks hold raw
-    # UnsafeRows, skipping the InMemoryRelation columnar encode on write
-    # AND the per-superstep columnar decode of the packed arrays
-    # (measured ~6s/scan at 0.6M array rows). aqe_off so the LogicalRDD
-    # keeps the concrete hash(src) partitioning (under AQE it would be
-    # UnknownPartitioning and every superstep would re-shuffle the
-    # arrays — see plans.iteration.aqe_off)
-    # hash_agg_pack: keep the collect_list pack hash-based (the 128-key
-    # sort fallback default cost 3-4x of the build — see plans.iteration)
-    with aqe_off(spark), hash_agg_pack(spark):
-        adj = adj.localCheckpoint(eager=True)
-    # vertex set from the cheapest available sources: the checkpointed
-    # adjacency's src column (already distinct-ish and hash(src)
-    # clustered — every vertex with out-edges) unioned with one pruned
-    # dst scan covers dangling vertices too. Equivalent to
-    # vertices_of(edges) (explode src+dst -> distinct) at roughly half
-    # the probe volume: 0.6M + |E| rows instead of 2|E| exploded rows.
-    vertices = (
-        adj.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = vertices.count()
+    if shuffle_graph is not None:
+        # shared pipeline artifact (plans/adjacency.py): pack + vertex
+        # set built at most once across PR/WCC over the same edges
+        adj = shuffle_graph.out_adjacency()
+        vertices = shuffle_graph.vertices()
+        n = shuffle_graph.n
+    else:
+        adj = build_out_adjacency(edges, n_part, compact_ids=compact_ids)
+        # materialize via localCheckpoint, not persist: RDD blocks hold
+        # raw UnsafeRows, skipping the InMemoryRelation columnar encode
+        # on write AND the per-superstep columnar decode of the packed
+        # arrays (measured ~6s/scan at 0.6M array rows). aqe_off so the
+        # LogicalRDD keeps the concrete hash(src) partitioning (under
+        # AQE it would be UnknownPartitioning and every superstep would
+        # re-shuffle the arrays — see plans.iteration.aqe_off)
+        # hash_agg_pack: keep the collect_list pack hash-based (the
+        # 128-key sort fallback default cost 3-4x of the build — see
+        # plans.iteration)
+        with aqe_off(spark), hash_agg_pack(spark):
+            adj = adj.localCheckpoint(eager=True)
+        # vertex set from the cheapest available sources: the
+        # checkpointed adjacency's src column (already distinct-ish and
+        # hash(src) clustered — every vertex with out-edges) unioned
+        # with one pruned dst scan covers dangling vertices too.
+        # Equivalent to vertices_of(edges) (explode src+dst -> distinct)
+        # at roughly half the probe volume: 0.6M + |E| rows instead of
+        # 2|E| exploded rows.
+        vertices = (
+            adj.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n = vertices.count()
     if n == 0:  # empty graph: no 1/N seed to compute
         stats = IterationStats()
         stats.converged = True
@@ -287,8 +302,11 @@ def pagerank(
         name="pagerank",
     )
     # adj is a localCheckpoint: its blocks are freed by the
-    # ContextCleaner after driver GC (periodicGC.interval=1min)
-    vertices.unpersist()
+    # ContextCleaner after driver GC (periodicGC.interval=1min).
+    # A shared ShuffleGraph's vertex set stays persisted for the next
+    # operator — the owner releases it.
+    if shuffle_graph is None:
+        vertices.unpersist()
     return final, stats
 
 

@@ -87,6 +87,7 @@ def weakly_connected_components(
     min_label: bool = False,
     strategy: str = "auto",
     gather_graph=None,
+    shuffle_graph=None,
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (components(id LONG, component LONG), stats).
 
@@ -117,12 +118,24 @@ def weakly_connected_components(
     ``edges_canonical`` is moot: integer max/min merges absorb
     duplicate messages bit-identically, so the flat symmetric table is
     never deduped.
+
+    ``shuffle_graph``: a plans.adjacency.ShuffleGraph over the same
+    edges — the shuffle tier's sharing twin (implies the shuffle tier;
+    caller keeps ownership/release). Instead of a standalone 2|E|-row
+    symmetric pack, the supersteps join the frontier against the shared
+    OUT pack plus the IN pack derived from it (half the flat-row
+    exchange, and the out half is already paid by whichever operator
+    built it — e.g. PageRank in the PR→WCC pipeline). The candidate
+    multiset per vertex is identical (each edge contributes both
+    directions exactly once), so labels and the changed-count
+    trajectory match the single-pack kernel exactly
+    (tests/test_shared_adjacency.py).
     """
     if strategy not in ("auto", "gather", "shuffle"):
         raise ValueError(f"unknown wcc strategy {strategy!r}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if strategy != "shuffle":
+    if shuffle_graph is None and strategy != "shuffle":
         from distributed_graph_analytics_spark.plans.gather import (
             GatherGraph,
             gather_tier_applies,
@@ -150,31 +163,48 @@ def weakly_connected_components(
                 min_label=min_label,
                 owned=gather_graph is None,
             )
-    # symmetric, deduped adjacency, packed into CSR-style array rows
-    # keyed by the *sender* v (north star: "CSR-style adjacency
-    # blocks"): per superstep the frontier joins |V|-ish packed rows
-    # instead of 2|E| flat rows, and the cache scan shrinks ~3x.
-    # Materialized via localCheckpoint: raw UnsafeRows, no columnar
-    # encode/decode of the arrays (see pagerank.py for the measurement).
-    nbrs = build_sym_adjacency(
-        edges, n_part, edges_canonical=edges_canonical, compact_ids=compact_ids
-    )
-    # aqe_off: keep the concrete hash(v) partitioning in the LogicalRDD
-    # (see plans.iteration.aqe_off and pagerank.py)
-    # hash_agg_pack: keep the collect_list pack hash-based (the 128-key
-    # sort fallback default cost 3-4x of the build — see plans.iteration)
-    with aqe_off(spark), hash_agg_pack(spark):
-        nbrs = nbrs.localCheckpoint(eager=True)
-    # the symmetric table contains every vertex as a sender v, so the
-    # vertex set falls out of the checkpointed 0.6M packed rows (already
-    # hash(v)-clustered -> the distinct adds NO exchange) instead of
-    # vertices_of's 2|E|-row explode+distinct
-    vertices = (
-        nbrs.select(F.col("v").alias("id"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = vertices.count()
+    if shuffle_graph is not None:
+        # shared pipeline artifact (plans/adjacency.py): the frontier
+        # joins the OUT pack (reused from whichever operator built it)
+        # plus the IN pack derived from its array rows — together the
+        # exact symmetric neighbor multiset of the single-pack build
+        nbr_tables = [
+            shuffle_graph.out_adjacency().select(
+                F.col("src").alias("v"), F.col("dsts").alias("us")
+            ),
+            shuffle_graph.in_adjacency(),
+        ]
+        vertices = shuffle_graph.vertices()
+        n = shuffle_graph.n
+    else:
+        # symmetric, deduped adjacency, packed into CSR-style array rows
+        # keyed by the *sender* v (north star: "CSR-style adjacency
+        # blocks"): per superstep the frontier joins |V|-ish packed rows
+        # instead of 2|E| flat rows, and the cache scan shrinks ~3x.
+        # Materialized via localCheckpoint: raw UnsafeRows, no columnar
+        # encode/decode of the arrays (see pagerank.py for the
+        # measurement).
+        nbrs = build_sym_adjacency(
+            edges, n_part, edges_canonical=edges_canonical, compact_ids=compact_ids
+        )
+        # aqe_off: keep the concrete hash(v) partitioning in the
+        # LogicalRDD (see plans.iteration.aqe_off and pagerank.py)
+        # hash_agg_pack: keep the collect_list pack hash-based (the
+        # 128-key sort fallback default cost 3-4x of the build — see
+        # plans.iteration)
+        with aqe_off(spark), hash_agg_pack(spark):
+            nbrs = nbrs.localCheckpoint(eager=True)
+        nbr_tables = [nbrs]
+        # the symmetric table contains every vertex as a sender v, so
+        # the vertex set falls out of the checkpointed 0.6M packed rows
+        # (already hash(v)-clustered -> the distinct adds NO exchange)
+        # instead of vertices_of's 2|E|-row explode+distinct
+        vertices = (
+            nbrs.select(F.col("v").alias("id"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n = vertices.count()
     # state carries the frontier flag; superstep 0 = everyone active
     init = vertices.select(
         F.col("id"), F.col("id").alias("component"), F.lit(True).alias("changed")
@@ -189,17 +219,28 @@ def weakly_connected_components(
         return cand < component if min_label else cand > component
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        frontier = state.where("changed").select("id", "component")
+        frontier = state.where("changed").select(
+            F.col("id").alias("v"), "component"
+        )
         # messages: each frontier vertex pushes its label to all
         # neighbors; frontier ≤ n rows → broadcast-or-shuffle decided
-        # from the known vertex count (state is a stats-less LogicalRDD)
-        msgs = (
-            nbrs.join(maybe_broadcast(frontier, n), nbrs["v"] == frontier["id"])
-            .select(
+        # from the known vertex count (state is a stats-less LogicalRDD).
+        # One join per packed table (one for the standalone symmetric
+        # pack; out + in under a shared ShuffleGraph) — each keeps its
+        # hash(v) side exchange-free, the union feeds one partial-
+        # aggregated merge.
+        parts = [
+            t.join(maybe_broadcast(frontier, n), "v").select(
                 F.explode("us").alias("_nb"),
                 F.col("component").alias("cand"),
             )
-            .select(F.col("_nb").cast("long").alias("id"), "cand")
+            for t in nbr_tables
+        ]
+        flat = parts[0]
+        for p in parts[1:]:
+            flat = flat.unionByName(p)
+        msgs = (
+            flat.select(F.col("_nb").cast("long").alias("id"), "cand")
             .groupBy("id")
             .agg(merge("cand").alias("cand"))
         )
@@ -235,8 +276,11 @@ def weakly_connected_components(
     final, stats = controller.run(
         init, step, converged=lambda m, i: m["changed"] == 0, name="wcc"
     )
-    # nbrs is a localCheckpoint: blocks freed by ContextCleaner post-GC
-    vertices.unpersist()
+    # nbrs is a localCheckpoint: blocks freed by ContextCleaner post-GC.
+    # A shared ShuffleGraph's vertex set stays persisted for the next
+    # operator — the owner releases it.
+    if shuffle_graph is None:
+        vertices.unpersist()
     return final.select("id", "component"), stats
 
 

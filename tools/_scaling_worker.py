@@ -87,6 +87,7 @@ def main():
     #     the exploratory pairs in BENCH/BASELINE.md.
     tier = os.environ.get("SPARK_GRAFT_TIER", "shuffle")
     g = None
+    sg = None
     t0 = time.time()
     if tier != "shuffle":
         from distributed_graph_analytics_spark.plans.gather import (
@@ -97,7 +98,16 @@ def main():
         g = GatherGraph.build(edges)
         if g.n > max_gather_vertices():
             g, tier = None, "shuffle"
-    ranks, pr_stats = pagerank(edges, gather_graph=g, strategy=tier)
+    if tier == "shuffle":
+        # one ShuffleGraph serves both analytics (plans/adjacency.py):
+        # PageRank's window pays the out pack + vertex set, WCC's
+        # window pays only the reverse pack derived from it — the same
+        # artifact sharing the gather tier gets from gather_graph, and
+        # what any real pipeline over one 100 TB edge table would do.
+        from distributed_graph_analytics_spark.plans.adjacency import ShuffleGraph
+
+        sg = ShuffleGraph(edges, num_partitions=parts)
+    ranks, pr_stats = pagerank(edges, gather_graph=g, shuffle_graph=sg, strategy=tier)
     n_v = ranks.count()
     pr_sec = time.time() - t0
     # decomposition: sum of per-superstep secs vs one-time build
@@ -113,7 +123,7 @@ def main():
     # the replicated co-occurrence table keeps the src < dst unique-pair
     # contract, so the defensive distinct() is skipped
     comps, wcc_stats = weakly_connected_components(
-        edges, edges_canonical=True, gather_graph=g, strategy=tier
+        edges, edges_canonical=True, gather_graph=g, shuffle_graph=sg, strategy=tier
     )
     comps.count()
     wcc_sec = time.time() - t0

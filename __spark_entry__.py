@@ -988,6 +988,32 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_documents(docs).select("doc_id", "content_sha256")
 
 
+def _q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style catalog path (sources/catalog.py): commit the
+    documents table as a snapshot clustered by lang, read it back
+    through the manifest with metadata-layer file pruning, and run the
+    sha256 ingest invariant over the pruned scan. Pruning is sound by
+    construction (bounds can only eliminate files that cannot match),
+    so the result equals a plain filtered scan — which is exactly what
+    the DuckDB oracle runs."""
+    import tempfile
+
+    from distributed_graph_analytics_spark.sources.catalog import SnapshotTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    table = SnapshotTable(tempfile.mkdtemp(prefix="dga_catalog_scan_"))
+    table.commit(docs, mode="append", cluster_by=("lang",))
+    scanned = table.read(
+        spark, filters=[("lang", "=", "en"), ("n_chars", ">=", 200)]
+    )
+    return scanned.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthesized documents contain no natural exact duplicates, so
     # the query self-seeds a deterministic copy of doc_id < 20 (shifted
@@ -2023,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _q_events_top_users,
         "doc_scrub": _q_doc_scrub,
         "dedup_clusters": _q_dedup_clusters,
+        "catalog_scan": _q_catalog_scan,
     }
 
 
@@ -2065,6 +2092,11 @@ LEFT JOIN (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id) t
 SELECT doc_id,
        sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_sha256
 FROM documents
+""",
+        "catalog_scan": """
+SELECT doc_id, lang, n_chars, sha256(text) AS text_sha256
+FROM documents
+WHERE lang = 'en' AND n_chars >= 200
 """,
         "dedup_exact": """
 WITH seeded AS (

@@ -30,6 +30,11 @@ ANALYTICS = (
     # wccGraphX = Graph.connectedComponents() min-label semantics,
     # prGraphX = Pregel delta-push PageRank
     "wccGraphX", "prGraphX",
+    # engine extension: pr + wcc over ONE shared packed adjacency
+    # (plans/adjacency.py ShuffleGraph) — the multi-analytic pipeline a
+    # real deployment runs over one edge table; ranks land in
+    # <output>_pr, the main output is WCC's S7 edge sink
+    "pipeline",
 )
 
 
@@ -217,6 +222,29 @@ def dispatch(args, edges, ckpt):
         comp, _ = weakly_connected_components(
             edges, args.max_iterations, checkpoint_manager=ckpt, min_label=True
         )
+        return edges.join(
+            comp.withColumnRenamed("id", "src"), "src"
+        ).select("src", "dst", "component")
+    if a == "pipeline":
+        # one ShuffleGraph serves both analytics: PageRank pays the out
+        # pack + vertex set, WCC pays only the derived reverse pack
+        # (plans/adjacency.py; parity pinned by test_shared_adjacency)
+        from distributed_graph_analytics_spark.operators.pagerank import pagerank
+        from distributed_graph_analytics_spark.operators.wcc import (
+            weakly_connected_components,
+        )
+        from distributed_graph_analytics_spark.plans.adjacency import ShuffleGraph
+
+        sg = ShuffleGraph(edges)
+        ranks, _ = pagerank(
+            edges, args.damping, args.delta, args.max_iterations,
+            checkpoint_manager=ckpt, shuffle_graph=sg,
+        )
+        ranks.write.mode("overwrite").parquet(args.output + "_pr")
+        comp, _ = weakly_connected_components(
+            edges, args.max_iterations, checkpoint_manager=ckpt, shuffle_graph=sg
+        )
+        sg.release()
         return edges.join(
             comp.withColumnRenamed("id", "src"), "src"
         ).select("src", "dst", "component")

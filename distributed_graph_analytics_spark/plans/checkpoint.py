@@ -12,7 +12,13 @@ per-partition lineage + metrics").
 
 On a real cluster the writes target an Iceberg table (atomic snapshot
 commit); parquet-per-iteration keeps the sandbox dependency-free while
-exercising the identical write/read/verify path.
+exercising the identical write/read/verify path. ``catalog=True``
+additionally routes each iteration's state through
+``sources/catalog.py::SnapshotTable`` — the Iceberg-style table format
+modeled over parquet — so every checkpoint is an atomic snapshot
+commit (version-hint flipped last) on ONE table whose snapshot log is
+the iteration history: the shape a real Iceberg deployment gives the
+resume path.
 """
 
 from __future__ import annotations
@@ -27,21 +33,37 @@ from pyspark.sql import functions as F
 
 
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, catalog: bool = False):
         self.spark = spark
         self.root = root
+        self.catalog = catalog
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, name: str, iteration: int) -> str:
         return os.path.join(self.root, name, f"iter_{iteration:06d}")
 
+    def _table(self, name: str):
+        from distributed_graph_analytics_spark.sources.catalog import SnapshotTable
+
+        return SnapshotTable(os.path.join(self.root, name, "_table"))
+
     def save(self, name: str, state: DataFrame, iteration: int, metrics: dict) -> str:
         path = self._dir(name, iteration)
-        data_path = os.path.join(path, "state")
-        state.write.mode("overwrite").parquet(data_path)
-        # Per-partition lineage: re-read what we wrote so the manifest
-        # describes the durable bytes, not the in-memory plan.
-        written = self.spark.read.parquet(data_path)
+        snapshot_id = None
+        if self.catalog:
+            # one Iceberg-style table per state name: each iteration is
+            # an atomic overwrite snapshot; the snapshot log IS the
+            # iteration history and old iterations stay time-travelable
+            table = self._table(name)
+            snapshot_id = table.commit(state, mode="overwrite")
+            written = table.read(self.spark, snapshot_id=snapshot_id)
+            os.makedirs(path, exist_ok=True)
+        else:
+            data_path = os.path.join(path, "state")
+            state.write.mode("overwrite").parquet(data_path)
+            # Per-partition lineage: re-read what we wrote so the manifest
+            # describes the durable bytes, not the in-memory plan.
+            written = self.spark.read.parquet(data_path)
         part_stats = (
             written.withColumn("_pid", F.spark_partition_id())
             .groupBy("_pid")
@@ -57,6 +79,7 @@ class CheckpointManager:
             "name": name,
             "iteration": iteration,
             "written_at": time.time(),
+            "snapshot_id": snapshot_id,
             "metrics": _jsonable(metrics),
             "partitions": [
                 {"pid": r["_pid"], "rows": r["rows"], "value_hash": str(r["value_hash"])}
@@ -102,9 +125,17 @@ class CheckpointManager:
         return self._load_verified(path)
 
     def _load_verified(self, path: str) -> tuple[DataFrame, dict]:
-        df = self.spark.read.parquet(os.path.join(path, "state"))
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
+        if manifest.get("snapshot_id") is not None:
+            # catalog mode: the manifest self-describes its snapshot, so
+            # a resume reads the exact committed snapshot (time travel),
+            # independent of later iterations' commits to the same table
+            df = self._table(manifest["name"]).read(
+                self.spark, snapshot_id=manifest["snapshot_id"]
+            )
+        else:
+            df = self.spark.read.parquet(os.path.join(path, "state"))
         expected_rows = sum(p["rows"] for p in manifest["partitions"])
         actual = df.count()
         if actual != expected_rows:

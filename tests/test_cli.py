@@ -153,3 +153,26 @@ def test_cli_graphx_variants_dispatch(spark, tmp_path):
     ranks = {r["id"]: r["rank"] for r in spark.read.parquet(out2).collect()}
     assert set(ranks) == {1, 2, 3, 4}
     assert all(v > 0 for v in ranks.values())
+
+
+def test_cli_pipeline_shared_graph(spark, tmp_path):
+    """`pipeline` runs PR then WCC over ONE ShuffleGraph: ranks land in
+    <output>_pr, the main output is WCC's S7 edge sink, and both match
+    the standalone analytics exactly (sharing is plan-level only)."""
+    inp = _write_edges(tmp_path)
+    out = str(tmp_path / "pipe_out")
+    args = build_parser().parse_args(["pipeline", "-i", inp, "-o", out])
+    assert run(args, spark) == 0
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4 and all(r["component"] == 4 for r in rows)
+
+    ranks = {r["id"]: r["rank"] for r in spark.read.parquet(out + "_pr").collect()}
+    from distributed_graph_analytics_spark.operators.pagerank import pagerank
+    from distributed_graph_analytics_spark.sources.edges import read_edge_list
+
+    solo, _ = pagerank(read_edge_list(spark, inp, ","))
+    solo_ranks = {r["id"]: r["rank"] for r in solo.collect()}
+    assert set(ranks) == set(solo_ranks) == {1, 2, 3, 4}
+    for vid, r in ranks.items():
+        assert abs(r - solo_ranks[vid]) < 1e-12

@@ -1014,6 +1014,29 @@ def _q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (sources/catalog.py): two append commits,
+    then read back AS OF the first snapshot id — the scan must see only
+    the first batch regardless of the later commit. The DuckDB twin is
+    the plain scan restricted to the first batch's rows, so a green row
+    proves snapshot isolation end-to-end (manifest resolution, per-file
+    schema pinning, and the sha256 ingest invariant on the old files)."""
+    import tempfile
+
+    from distributed_graph_analytics_spark.sources.catalog import SnapshotTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    table = SnapshotTable(tempfile.mkdtemp(prefix="dga_catalog_tt_"))
+    s1 = table.commit(docs.where(F.col("doc_id") % 3 == 0), mode="append")
+    table.commit(docs.where(F.col("doc_id") % 3 != 0), mode="append")
+    old = table.read(spark, snapshot_id=s1)
+    return old.select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("text_sha256")
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthesized documents contain no natural exact duplicates, so
     # the query self-seeds a deterministic copy of doc_id < 20 (shifted
@@ -1058,6 +1081,22 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_cosine_topk(vecs, qs, k=5).select(
+        "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def _q_ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level tournament top-k (shuffle_buckets) — identical exact
+    semantics to ann_cosine_topk, so it shares that oracle verbatim; the
+    driver row green here proves the 10^8+-vector execution shape returns
+    the bit-identical answer."""
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_cosine_topk(vecs, qs, k=5, shuffle_buckets=16).select(
         "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
     )
 
@@ -2025,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_topk_bucketed": _q_ann_topk_bucketed,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2050,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub": _q_doc_scrub,
         "dedup_clusters": _q_dedup_clusters,
         "catalog_scan": _q_catalog_scan,
+        "catalog_time_travel": _q_catalog_time_travel,
     }
 
 
@@ -2097,6 +2138,11 @@ FROM documents
 SELECT doc_id, lang, n_chars, sha256(text) AS text_sha256
 FROM documents
 WHERE lang = 'en' AND n_chars >= 200
+""",
+        "catalog_time_travel": """
+SELECT doc_id, lang, sha256(text) AS text_sha256
+FROM documents
+WHERE doc_id % 3 = 0
 """,
         "dedup_exact": """
 WITH seeded AS (
@@ -2147,6 +2193,9 @@ HAVING COUNT(*) > 1
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(k=5, num_hashes=16, bands=8),
         "dedup_simhash": _SIMHASH_ORACLE_SQL,
         "ann_cosine_topk": _ann_topk_oracle_sql(k=5, n_queries=5),
+        # same exact semantics — the bucketed path must reproduce the
+        # single-phase answer bit-for-bit
+        "ann_topk_bucketed": _ann_topk_oracle_sql(k=5, n_queries=5),
         "ann_lsh_topk": _ann_lsh_oracle_sql(k=5, n_queries=5, num_planes=4),
         "ann_ivf_topk": _ann_ivf_oracle_sql(
             k=5, n_queries=5, num_centroids=16, nprobe=4

@@ -39,9 +39,14 @@ def brute_force_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    shuffle_buckets: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine. `queries(query_id, embedding)` is expected
     to be small → broadcast; result: (query_id, vec_id, cos) ranked.
+
+    ``shuffle_buckets``: two-phase global top-k for corpora past ~10^8
+    vectors — see _window_topk. Any value produces the identical exact
+    result; it only bounds the per-task row count.
     """
     q = F.broadcast(
         queries.select(
@@ -54,10 +59,12 @@ def brute_force_cosine_topk(
         "vec_id",
         cosine(F.col("q_vec"), F.col("v_vec")).alias("cos"),
     )
-    return _window_topk(scored, k)
+    return _window_topk(scored, k, shuffle_buckets=shuffle_buckets)
 
 
-def _window_topk(scored: DataFrame, k: int) -> DataFrame:
+def _window_topk(
+    scored: DataFrame, k: int, shuffle_buckets: int | None = None
+) -> DataFrame:
     """Per-query top-k via row_number window (tie-break cos DESC then
     vec_id DESC, matching sort_array(struct(cos, vec_id)) desc order).
 
@@ -65,9 +72,32 @@ def _window_topk(scored: DataFrame, k: int) -> DataFrame:
     the whole per-query scored set builds one unbounded multi-GB row per
     query at 100 TB. The window sorts within the query's partition but
     emits bounded rows per task; with `spark.sql.execution.topKSortFallbackThreshold`
-    Spark's rank-limit pushes a per-partition top-k before the shuffle.
+    Spark's rank-limit pushes a per-partition top-k before the shuffle
+    (WindowGroupLimit in the physical plan).
+
+    ``shuffle_buckets=B`` adds an explicit pre-aggregation level for the
+    10^8+-vectors-per-query regime where the rank-limit pushdown alone
+    still funnels input_partitions×k survivor rows into ONE final
+    per-query partition: rows are salted by hash(vec_id) into B
+    sub-groups, the same top-k runs per (query, salt) group — B parallel
+    bounded tasks — and only B×k survivors per query reach the final
+    window. Exactness: every member of the global top-k ranks ≤ k inside
+    its own salt bucket, so the survivor set contains the global top-k
+    (classic two-level tournament reduction). Output is bit-identical to
+    the single-phase path (pinned by tests/test_similarity.py).
     """
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.desc("vec_id"))
+    order = [F.desc("cos"), F.desc("vec_id")]
+    if shuffle_buckets and shuffle_buckets > 1:
+        wb = Window.partitionBy("query_id", "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(shuffle_buckets))
+            )
+            .withColumn("_brank", F.row_number().over(wb))
+            .where(F.col("_brank") <= k)
+            .drop("_salt", "_brank")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

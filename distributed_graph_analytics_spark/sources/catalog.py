@@ -96,20 +96,26 @@ class SnapshotTable:
         os.makedirs(self.data_dir, exist_ok=True)
 
         prev = self._current_metadata()
+        table_schema = df.schema
         if prev is not None:
             prev_schema = StructType.fromJson(prev["schema"])
             if prev_schema != df.schema:
-                raise ValueError(
-                    f"schema change on commit to {self.root}: table has "
-                    f"{prev_schema.simpleString()}, commit has "
-                    f"{df.schema.simpleString()}"
-                )
+                if not _is_additive(prev_schema, df.schema):
+                    raise ValueError(
+                        f"schema change on commit to {self.root}: table has "
+                        f"{prev_schema.simpleString()}, commit has "
+                        f"{df.schema.simpleString()}; only additive "
+                        "evolution (new columns) is supported"
+                    )
+                table_schema = _evolved_schema(prev_schema, df.schema)
 
         if cluster_by:
             nf = num_files or int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions")
             )
             out = df.repartition(nf, *cluster_by)
+        elif num_files:
+            out = df.repartition(num_files)
         else:
             out = df
         # one staging dir per commit; its parquet files are the
@@ -147,7 +153,7 @@ class SnapshotTable:
         ]
         meta = {
             "version": version,
-            "schema": df.schema.jsonValue(),
+            "schema": table_schema.jsonValue(),
             "current_snapshot_id": snapshot_id,
             "snapshot_log": log,
             "cluster_by": list(cluster_by),
@@ -253,6 +259,150 @@ class SnapshotTable:
         meta = self._current_metadata()
         return list(meta["snapshot_log"]) if meta else []
 
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        filters: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Rows appended strictly AFTER ``from_snapshot``, up to and
+        including ``to_snapshot`` (default: current) — Iceberg's
+        incremental append scan, the consumption pattern of a streaming
+        training-data pipeline tailing the table ("give me what landed
+        since my last checkpoint").
+
+        Data files are immutable and appends only ADD manifest entries,
+        so the increment is exactly the file-set difference of the two
+        manifests — an O(files) driver-side set op, no data read until
+        Spark scans the surviving files. If any snapshot in the range
+        is an overwrite (its file list does not contain its parent's),
+        the increment is not expressible as appended files and this
+        raises ``ValueError`` — the same refusal Iceberg's
+        ``incremental read`` makes on REPLACE/OVERWRITE history.
+
+        ``filters`` prune the added files at the metadata layer and
+        re-apply as a row filter, exactly like ``read``.
+        """
+        meta = self._current_metadata()
+        if meta is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        log = [s["snapshot_id"] for s in meta["snapshot_log"]]
+        to_snapshot = (
+            meta["current_snapshot_id"] if to_snapshot is None else to_snapshot
+        )
+        for sid in (from_snapshot, to_snapshot):
+            if sid not in log:
+                raise ValueError(f"unknown snapshot {sid}")
+        i_from, i_to = log.index(from_snapshot), log.index(to_snapshot)
+        if i_from > i_to:
+            raise ValueError(
+                f"from_snapshot {from_snapshot} is newer than "
+                f"to_snapshot {to_snapshot}"
+            )
+        prev_paths = {e["path"] for e in self._manifest(from_snapshot)["files"]}
+        added: list[dict] = []
+        for sid in log[i_from + 1 : i_to + 1]:
+            files = self._manifest(sid)["files"]
+            paths = {e["path"] for e in files}
+            if not paths >= prev_paths:
+                raise ValueError(
+                    f"snapshot {sid} overwrites history; incremental "
+                    "read is only defined over append commits"
+                )
+            added.extend(e for e in files if e["path"] not in prev_paths)
+            prev_paths = paths
+        kept = [e for e in added if _survives(e, filters or [])]
+        schema = StructType.fromJson(meta["schema"])
+        if not kept:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.data_dir, e["path"]) for e in kept]
+            )
+        from pyspark.sql import functions as F
+
+        for col, op, val in filters or []:
+            c, v = F.col(col), F.lit(val)
+            df = df.where(
+                {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+            )
+        return df
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_files: int) -> int:
+        """Rewrite the current snapshot's data into ``target_files``
+        files — Iceberg's ``rewrite_data_files`` small-file compaction,
+        committed as a new overwrite snapshot (same rows, fresh file
+        list; incremental readers correctly refuse to cross it). The
+        table's ``cluster_by`` layout is preserved so metadata pruning
+        stays selective after compaction."""
+        meta = self._current_metadata()
+        if meta is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        cluster_by = tuple(meta.get("cluster_by") or ())
+        return self.commit(
+            self.read(spark),
+            mode="overwrite",
+            cluster_by=cluster_by,
+            num_files=target_files,
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> tuple[int, int]:
+        """Drop all but the newest ``keep_last`` snapshots: their
+        manifests are deleted, data files referenced ONLY by expired
+        snapshots are deleted, and a new metadata version records the
+        truncated log (so the expiry itself is an atomic, crash-safe
+        commit). Time travel to an expired snapshot then fails, exactly
+        like Iceberg's ``expire_snapshots``. Returns
+        ``(snapshots_expired, data_files_deleted)``."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta = self._current_metadata()
+        if meta is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        log = meta["snapshot_log"]
+        if len(log) <= keep_last:
+            return (0, 0)
+        expired = log[:-keep_last]
+        kept = log[-keep_last:]
+        live_paths = {
+            e["path"]
+            for s in kept
+            for e in self._manifest(s["snapshot_id"])["files"]
+        }
+        dead_paths = {
+            e["path"]
+            for s in expired
+            for e in self._manifest(s["snapshot_id"])["files"]
+        } - live_paths
+        # commit the truncated log FIRST (atomic flip), then clean up:
+        # a crash mid-delete leaves only unreferenced orphans behind
+        version = meta["version"] + 1
+        new_meta = dict(meta, version=version, snapshot_log=kept)
+        with open(
+            os.path.join(self.meta_dir, f"v{version}.metadata.json"), "w"
+        ) as f:
+            json.dump(new_meta, f, indent=1)
+        hint_tmp = os.path.join(self.meta_dir, f"_hint_{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.text"))
+        for s in expired:
+            try:
+                os.remove(self._manifest_path(s["snapshot_id"]))
+            except FileNotFoundError:  # pragma: no cover
+                pass
+        for p in dead_paths:
+            try:
+                os.remove(os.path.join(self.data_dir, p))
+            except FileNotFoundError:  # pragma: no cover
+                pass
+        return (len(expired), len(dead_paths))
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
@@ -292,6 +442,38 @@ class SnapshotTable:
                 raise ValueError(f"no snapshot at or before {as_of}")
             return eligible[-1]["snapshot_id"]
         return meta["current_snapshot_id"]
+
+
+def _is_additive(old: StructType, new: StructType) -> bool:
+    """True when ``new`` only ADDS columns to ``old`` (by-name match;
+    parquet reads resolve columns by name, so position is free).
+    Iceberg's safe subset of schema evolution: the TABLE schema records
+    added columns as optional (see _evolved_schema), so existing files
+    read under it yield nulls for them — no rewrite."""
+    old_fields = {f.name: f.dataType for f in old.fields}
+    new_fields = {f.name: f for f in new.fields}
+    if set(old_fields) - set(new_fields):
+        return False  # a drop/rename is not additive
+    return all(
+        new_fields[name].dataType == dt  # type change requires a rewrite
+        for name, dt in old_fields.items()
+    )
+
+
+def _evolved_schema(old: StructType, new: StructType) -> StructType:
+    """Table schema after an additive commit: the commit's schema with
+    every ADDED field forced nullable — files from before the evolution
+    have no values for it (Iceberg: new columns are always optional) —
+    and previously-nullable fields kept nullable (a stricter writer
+    cannot retro-tighten the table's contract)."""
+    old_nullable = {f.name: f.nullable for f in old.fields}
+    fields = []
+    for f in new.fields:
+        nullable = f.nullable or old_nullable.get(f.name, True)
+        if nullable != f.nullable:
+            f = type(f)(f.name, f.dataType, nullable=True, metadata=f.metadata)
+        fields.append(f)
+    return StructType(fields)
 
 
 def _survives(entry: dict, filters: list[tuple[str, str, object]]) -> bool:

@@ -153,3 +153,106 @@ def test_repo_table_through_catalog(spark, tmp_path):
     assert rows and all(r["lang"] == "py" and len(r["content_sha256"]) == 64 for r in rows)
     kept, total = t.scan_files(filters=[("lang", "=", "py")])
     assert kept < total
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    """read_incremental returns exactly the rows appended after
+    from_snapshot — the streaming-pipeline tail-read."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.commit(_docs(spark, n=100, tag="a"), mode="append")
+    s2 = t.commit(_docs(spark, n=40, tag="b"), mode="append")
+    s3 = t.commit(_docs(spark, n=10, tag="c"), mode="append")
+    # increment s1 -> current (s3): batches b and c only
+    inc = t.read_incremental(spark, from_snapshot=s1)
+    got_tags = {r["name"].split("_")[0] for r in inc.collect()}
+    assert got_tags == {"b", "c"} and inc.count() == 50
+    # bounded increment s1 -> s2: batch b only
+    assert t.read_incremental(spark, s1, s2).count() == 40
+    # empty increment
+    assert t.read_incremental(spark, s3).count() == 0
+    # metadata pruning applies to the added files
+    pruned = t.read_incremental(spark, s1, filters=[("lang", "=", "py")])
+    rows = pruned.collect()
+    assert rows and all(r["lang"] == "py" for r in rows)
+
+
+def test_incremental_read_refuses_overwrite_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.commit(_docs(spark, n=50, tag="a"), mode="append")
+    t.commit(_docs(spark, n=20, tag="b"), mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_incremental(spark, from_snapshot=s1)
+    # and unknown / inverted ranges are rejected
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read_incremental(spark, from_snapshot=999)
+
+
+def test_incremental_read_after_overwrite_restart(spark, tmp_path):
+    """An overwrite starts a fresh lineage: increments WITHIN the
+    post-overwrite appends still work."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_docs(spark, n=50, tag="a"), mode="append")
+    s2 = t.commit(_docs(spark, n=20, tag="b"), mode="overwrite")
+    t.commit(_docs(spark, n=5, tag="c"), mode="append")
+    inc = t.read_incremental(spark, from_snapshot=s2)
+    assert inc.count() == 5
+    assert {r["name"].split("_")[0] for r in inc.collect()} == {"c"}
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """New nullable columns may be added by a later commit; old files
+    read back with nulls for the added column (no rewrite)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(_docs(spark, n=30, tag="a"), mode="append")
+    evolved = _docs(spark, n=10, tag="b").selectExpr(
+        "id", "name", "lang", "cast(id * 2 as bigint) AS stars"
+    )
+    t.commit(evolved, mode="append")
+    out = t.read(spark)
+    assert out.columns == ["id", "name", "lang", "stars"]
+    assert out.count() == 40
+    by_tag = {
+        r["name"].split("_")[0]: r["stars"] is None for r in out.collect()
+    }
+    assert by_tag == {"a": True, "b": False}
+    # non-additive changes still refused
+    with pytest.raises(ValueError, match="additive"):
+        t.commit(_docs(spark, n=5).select("id", "name"), mode="append")
+    with pytest.raises(ValueError, match="additive"):
+        t.commit(
+            _docs(spark, n=5).selectExpr("cast(id as int) id", "name", "lang"),
+            mode="append",
+        )
+
+
+def test_compact_preserves_rows_and_prunability(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    for tag in ("a", "b", "c"):
+        t.commit(_docs(spark, n=50, tag=tag), mode="append",
+                 cluster_by=("lang",), num_files=8)
+    before = _rows(t.read(spark))
+    _, total_before = t.scan_files()
+    t.compact(spark, target_files=5)
+    assert _rows(t.read(spark)) == before
+    kept, total_after = t.scan_files(filters=[("lang", "=", "py")])
+    assert total_after <= 5 < total_before
+    assert kept < total_after  # cluster_by survived compaction
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.commit(_docs(spark, n=30, tag="a"), mode="append")
+    t.commit(_docs(spark, n=20, tag="b"), mode="overwrite")
+    s3 = t.commit(_docs(spark, n=10, tag="c"), mode="append")
+    n_data_before = len(os.listdir(str(tmp_path / "t" / "data")))
+    expired, deleted = t.expire_snapshots(keep_last=2)
+    assert expired == 1 and deleted > 0
+    # s1's files (not referenced by s2/s3) are gone from disk
+    assert len(os.listdir(str(tmp_path / "t" / "data"))) == n_data_before - deleted
+    # current read unaffected; expired snapshot no longer resolvable
+    assert t.read(spark).count() == 30
+    assert t.read(spark, snapshot_id=s3).count() == 30
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(spark, snapshot_id=s1)
+    # idempotent when nothing to expire
+    assert t.expire_snapshots(keep_last=5) == (0, 0)

@@ -135,3 +135,30 @@ def test_embedding_centroids_long_format(spark):
     want0 = mat[:, 0].mean()
     got0 = got[(got["group"] == g0) & (got["pos"] == 0)]["centroid"].iloc[0]
     np.testing.assert_allclose(got0, want0, rtol=1e-9)
+
+
+def test_bucketed_topk_identical_to_single_phase(spark):
+    """shuffle_buckets is a pure execution-shape knob: the two-level
+    tournament must return the bit-identical exact top-k."""
+    v = vectors(spark)
+    queries = v.limit(4).selectExpr("vec_id as query_id", "embedding")
+    single = brute_force_cosine_topk(v, queries, k=7).toPandas()
+    for b in (2, 8, 64):
+        bucketed = brute_force_cosine_topk(
+            v, queries, k=7, shuffle_buckets=b
+        ).toPandas()
+        s = single.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        g = bucketed.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert s.equals(g), f"buckets={b} diverged from single-phase"
+
+
+def test_bucketed_topk_plan_has_two_window_levels(spark):
+    """The salted pre-aggregation must show up as a second window level
+    (bounded per-task row counts at 10^8+ vectors/query), with the
+    rank-limit pushdown (WindowGroupLimit) applied to both levels."""
+    v = vectors(spark)
+    queries = v.limit(2).selectExpr("vec_id as query_id", "embedding")
+    plan = brute_force_cosine_topk(
+        v, queries, k=5, shuffle_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan

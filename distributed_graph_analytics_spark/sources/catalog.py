@@ -30,7 +30,13 @@ semantics (the spec at iceberg.apache.org/spec) over plain parquet:
   every file on the executors).
 
 ``mode="append"`` adds files to the previous snapshot's list;
-``mode="overwrite"`` starts a fresh list. Grouping the write by
+``mode="overwrite"`` starts a fresh list. ``read_incremental`` is the
+incremental append scan (files added between two snapshots — the
+streaming-pipeline tail read); ``compact`` is rewrite_data_files-style
+small-file compaction; ``expire_snapshots`` truncates the log and
+deletes orphaned data files; commits may ADD columns (additive schema
+evolution — the table schema records them nullable so pre-evolution
+files read back with nulls). Grouping the write by
 ``cluster_by`` columns (``df.repartition(*cluster_by)``) gives each
 file a tight bound on those columns, which is what makes the
 metadata pruning selective — Iceberg's partition tuple generalized to

@@ -297,6 +297,20 @@ def render_phase_analysis(s: dict) -> str:
         f"| **phase-min composition** | {t_n_star:.1f} | {t_4n_star:.1f} "
         f"| **{eff_star:.2f}** |"
     )
+    runs_n = d_n.get("all_runs_sec") or []
+    runs_4n = d_4n.get("all_runs_sec") or []
+    pairs = [
+        round(tn / (4.0 * t4), 3) for tn, t4 in zip(runs_n, runs_4n) if t4
+    ]
+    if pairs:
+        med = sorted(pairs)[len(pairs) // 2]
+        lines += [
+            "",
+            # legs of one pair share a noise regime; the cross-pair
+            # min-total ratio mixes regimes
+            f"Per-interleaved-pair ratios: {', '.join(str(p) for p in pairs)}"
+            f" — median {med}.",
+        ]
     return "\n".join(lines)
 
 

@@ -835,6 +835,19 @@ def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select("id", "component")
 
 
+def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the O(log² n)-round large-star/small-star kernel
+    # (operators/star_components.py, Kiveris et al. SoCC'14) — label
+    # contract identical to wcc, so it shares the label-prop oracle:
+    # a green row proves the two kernels agree at fixed point
+    from distributed_graph_analytics_spark.operators.star_components import (
+        star_components,
+    )
+
+    comp, _ = star_components(load_edges(spark, sf_dir))
+    return comp.select("id", "component")
+
+
 def _q_wcc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the GraphX built-in connectedComponents() semantics (reference
     # wccGraphX dispatch, DGARunner.scala:96-117): components labeled
@@ -2045,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree": _q_out_degree,
         "wcc": _q_wcc,
         "wcc_min_label": _q_wcc_min_label,
+        "wcc_star": _q_wcc_star,
         "pagerank_fixed10": _q_pagerank_fixed,
         "pagerank": _q_pagerank_converged,
         "pagerank_delta_push": _q_pagerank_delta_push,
@@ -2110,6 +2124,9 @@ GROUP BY id
         "out_degree": _EDGES_CTE + "SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src",
         "wcc": _wcc_unrolled_sql(_WCC_ROUNDS),
         "wcc_min_label": _wcc_unrolled_sql(_WCC_ROUNDS, min_label=True),
+        # the star kernel's label contract is identical to wcc's — the
+        # label-prop unroll doubles as its oracle
+        "wcc_star": _wcc_unrolled_sql(_WCC_ROUNDS),
         "pagerank_fixed10": _pagerank_unrolled_sql(_PR_FIXED_ITERS),
         "pagerank_delta_push": _delta_push_unrolled_sql(rounds=24, eps=1e-6),
         "leaf_compression": _leaf_compression_unrolled_sql(_LC_ROUNDS),

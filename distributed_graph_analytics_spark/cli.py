@@ -35,6 +35,8 @@ ANALYTICS = (
     # real deployment runs over one edge table; ranks land in
     # <output>_pr, the main output is WCC's S7 edge sink
     "pipeline",
+    # engine extension: O(log² n)-round star components (wcc labels)
+    "wccStar",
 )
 
 
@@ -222,6 +224,18 @@ def dispatch(args, edges, ckpt):
         comp, _ = weakly_connected_components(
             edges, args.max_iterations, checkpoint_manager=ckpt, min_label=True
         )
+        return edges.join(
+            comp.withColumnRenamed("id", "src"), "src"
+        ).select("src", "dst", "component")
+    if a == "wccStar":
+        # engine extension: O(log² n)-round large-star/small-star
+        # components (Kiveris et al. SoCC'14) — identical labels to
+        # wcc, far fewer rounds on high-diameter graphs
+        from distributed_graph_analytics_spark.operators.star_components import (
+            star_components,
+        )
+
+        comp, _ = star_components(edges, args.max_iterations)
         return edges.join(
             comp.withColumnRenamed("id", "src"), "src"
         ).select("src", "dst", "component")

@@ -256,3 +256,25 @@ def test_expire_snapshots(spark, tmp_path):
         t.read(spark, snapshot_id=s1)
     # idempotent when nothing to expire
     assert t.expire_snapshots(keep_last=5) == (0, 0)
+
+
+def test_time_travel_across_evolution(spark, tmp_path):
+    """Reading a pre-evolution snapshot id under the evolved table
+    schema yields nulls for the added column (Iceberg reads resolve
+    columns by name against the current schema)."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.commit(_docs(spark, n=20, tag="a"), mode="append")
+    t.commit(
+        _docs(spark, n=10, tag="b").selectExpr(
+            "id", "name", "lang", "id * 3 AS stars"
+        ),
+        mode="append",
+    )
+    old = t.read(spark, snapshot_id=s1)
+    assert old.columns == ["id", "name", "lang", "stars"]
+    rows = old.collect()
+    assert len(rows) == 20 and all(r["stars"] is None for r in rows)
+    # incremental read across the evolution sees only the new batch,
+    # with its stars populated
+    inc = t.read_incremental(spark, from_snapshot=s1).collect()
+    assert len(inc) == 10 and all(r["stars"] == r["id"] * 3 for r in inc)

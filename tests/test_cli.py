@@ -176,3 +176,15 @@ def test_cli_pipeline_shared_graph(spark, tmp_path):
     assert set(ranks) == set(solo_ranks) == {1, 2, 3, 4}
     for vid, r in ranks.items():
         assert abs(r - solo_ranks[vid]) < 1e-12
+
+
+def test_cli_wcc_star_dispatch(spark, tmp_path):
+    """`wccStar` produces the same S7 edge sink as `wcc`."""
+    inp = _write_edges(tmp_path)
+    out = str(tmp_path / "star_out")
+    args = build_parser().parse_args(
+        ["wccStar", "-i", inp, "-o", out, "--format", "parquet"]
+    )
+    assert run(args, spark) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4 and all(r["component"] == 4 for r in rows)

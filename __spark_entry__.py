@@ -114,6 +114,44 @@ WITH repo_table AS (
 """
 
 
+def _neighbor_sample_oracle_sql() -> str:
+    """DuckDB twin of operators/sampling.neighbor_sample(fanouts=(5,3),
+    seed=42, hash_family="sha2") from the id<20 seed set: per level a
+    row_number over the sha2 hash order, capped at the fanout; the
+    level-2 frontier is level-1's distinct sampled dst minus the seeds
+    themselves (the operator's visited-set anti-join after one hop)."""
+    return (
+        _EDGES_CTE
+        + f""", seeds AS (SELECT id AS seed FROM vertices WHERE id < 20),
+adj AS MATERIALIZED (SELECT DISTINCT u AS src, v AS dst FROM sym WHERE u <> v),
+l1 AS MATERIALIZED (
+  SELECT seed, 1 AS level, src, dst FROM (
+    SELECT s.seed, a.src, a.dst,
+           row_number() OVER (
+             PARTITION BY s.seed, a.src
+             ORDER BY {_sha60("concat_ws(':', a.dst, 42, 1)")}, a.dst
+           ) AS rn
+    FROM seeds s JOIN adj a ON a.src = s.seed
+  ) WHERE rn <= 5
+),
+f2 AS (SELECT DISTINCT seed, dst AS node FROM l1 WHERE dst <> seed),
+l2 AS MATERIALIZED (
+  SELECT seed, 2 AS level, src, dst FROM (
+    SELECT f.seed, a.src, a.dst,
+           row_number() OVER (
+             PARTITION BY f.seed, a.src
+             ORDER BY {_sha60("concat_ws(':', a.dst, 42, 2)")}, a.dst
+           ) AS rn
+    FROM f2 f JOIN adj a ON a.src = f.node
+  ) WHERE rn <= 3
+)
+SELECT seed, level, src, dst FROM l1
+UNION ALL
+SELECT seed, level, src, dst FROM l2
+"""
+    )
+
+
 def _wcc_unrolled_sql(rounds: int, min_label: bool = False) -> str:
     """Label propagation unrolled to a fixed round count — exact fixed
     point provided the graph diameter ≤ rounds (asserted by the
@@ -846,6 +884,25 @@ def _q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     comp, _ = star_components(load_edges(spark, sf_dir))
     return comp.select("id", "component")
+
+
+def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GraphSAGE-style 2-hop fanout sample from the low-id seed set;
+    # sha2 hash family → DuckDB replays the identical sample
+    from distributed_graph_analytics_spark.operators.sampling import (
+        neighbor_sample,
+    )
+
+    edges = load_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") < 20)
+    )
+    return neighbor_sample(
+        edges, seeds, fanouts=(5, 3), seed=42, hash_family="sha2"
+    )
 
 
 def _q_wcc_min_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2059,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "wcc_min_label": _q_wcc_min_label,
         "wcc_star": _q_wcc_star,
+        "neighbor_sample": _q_neighbor_sample,
         "pagerank_fixed10": _q_pagerank_fixed,
         "pagerank": _q_pagerank_converged,
         "pagerank_delta_push": _q_pagerank_delta_push,
@@ -2127,6 +2185,7 @@ GROUP BY id
         # the star kernel's label contract is identical to wcc's — the
         # label-prop unroll doubles as its oracle
         "wcc_star": _wcc_unrolled_sql(_WCC_ROUNDS),
+        "neighbor_sample": _neighbor_sample_oracle_sql(),
         "pagerank_fixed10": _pagerank_unrolled_sql(_PR_FIXED_ITERS),
         "pagerank_delta_push": _delta_push_unrolled_sql(rounds=24, eps=1e-6),
         "leaf_compression": _leaf_compression_unrolled_sql(_LC_ROUNDS),

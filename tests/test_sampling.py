@@ -1,0 +1,79 @@
+import pytest
+
+from tests.conftest import edges_df
+
+from distributed_graph_analytics_spark.operators.sampling import neighbor_sample
+
+
+def rows(df):
+    return {(r["seed"], r["level"], r["src"], r["dst"]) for r in df.collect()}
+
+
+def test_fanout_caps_and_levels(spark):
+    # star around 1: 1 connected to 2..9 (8 neighbors); 9 connected to 20,21
+    e = edges_df(spark, [(1, d) for d in range(2, 10)] + [(9, 20), (9, 21)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = neighbor_sample(e, seeds, fanouts=(3, 2), seed=7)
+    got = rows(out)
+    l1 = {g for g in got if g[1] == 1}
+    l2 = {g for g in got if g[1] == 2}
+    assert len(l1) == 3 and all(s == 1 and src == 1 for s, _, src, _ in l1)
+    # every level-2 src is a sampled level-1 dst; per-src cap 2 holds
+    l1_dsts = {d for *_, d in l1}
+    assert all(src in l1_dsts for _, _, src, _ in l2)
+    from collections import Counter
+
+    per_src = Counter(src for _, _, src, _ in l2)
+    assert all(c <= 2 for c in per_src.values())
+
+
+def test_deterministic_and_seed_sensitive(spark):
+    e = edges_df(spark, [(1, d) for d in range(2, 12)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    a = rows(neighbor_sample(e, seeds, fanouts=(4,), seed=7))
+    b = rows(neighbor_sample(e, seeds, fanouts=(4,), seed=7))
+    c = rows(neighbor_sample(e, seeds, fanouts=(4,), seed=8))
+    assert a == b
+    assert a != c  # different seed, different sample (10-choose-4 space)
+
+
+def test_visited_not_reexpanded(spark):
+    # triangle 1-2-3: from seed 1, level-1 reaches {2,3}; level 2 must
+    # not hop back into 1 (visited) but may connect 2<->3
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 3)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = rows(neighbor_sample(e, seeds, fanouts=(2, 2), seed=1))
+    l2_srcs = {src for _, lvl, src, _ in got if lvl == 2}
+    assert 1 not in l2_srcs  # the seed is never re-expanded
+    assert l2_srcs <= {2, 3}
+
+
+def test_directed_follows_out_edges_only(spark):
+    e = edges_df(spark, [(2, 1), (1, 3)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    undirected = rows(neighbor_sample(e, seeds, fanouts=(5,), seed=1))
+    directed = rows(neighbor_sample(e, seeds, fanouts=(5,), seed=1, directed=True))
+    assert {d for *_, d in undirected} == {2, 3}
+    assert {d for *_, d in directed} == {3}
+
+
+def test_hub_bounded_output(spark):
+    """A 500-degree hub contributes exactly fanout rows — the
+    WindowGroupLimit cap, not the degree, bounds the sample."""
+    e = edges_df(spark, [(1, d) for d in range(2, 502)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = neighbor_sample(e, seeds, fanouts=(10,), seed=3)
+    assert out.count() == 10
+
+
+def test_sha2_family_matches_xxhash_shape(spark):
+    """The sha2 family (oracle-reproducible) returns the same SHAPE of
+    sample (caps, levels) — values differ only by hash order."""
+    e = edges_df(spark, [(1, d) for d in range(2, 12)] + [(5, 30), (6, 31)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    a = neighbor_sample(e, seeds, fanouts=(4, 2), seed=7, hash_family="sha2")
+    b = neighbor_sample(e, seeds, fanouts=(4, 2), seed=7)
+    ca = a.groupBy("level").count().collect()
+    cb = b.groupBy("level").count().collect()
+    assert {r["level"]: r["count"] for r in ca}[1] == 4
+    assert {r["level"]: r["count"] for r in cb}[1] == 4

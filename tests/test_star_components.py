@@ -81,3 +81,28 @@ def test_star_matches_wcc_on_testdata(spark):
     want, _ = weakly_connected_components(e, edges_canonical=True)
     assert labels(got) == labels(want)
     assert stats.converged
+
+
+def test_star_matches_wcc_property_random_graphs(spark):
+    """Property test: on seeded random graphs of varied shape (sparse,
+    dense, many components, hub-heavy), the star kernel's labels equal
+    label propagation's — both max- and min-label contracts."""
+    from hypothesis import given, settings, strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+    )
+
+    @settings(max_examples=12, deadline=None, derandomize=True)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def check(edge_list):
+        e = edges_df(spark, edge_list)
+        got, _ = star_components(e)
+        want, _ = weakly_connected_components(e)
+        assert labels(got) == labels(want)
+        got_min, _ = star_components(e, min_label=True)
+        want_min, _ = weakly_connected_components(e, min_label=True)
+        assert labels(got_min) == labels(want_min)
+
+    check()

@@ -152,6 +152,49 @@ SELECT seed, level, src, dst FROM l2
     )
 
 
+def _negative_sample_oracle_sql(
+    num_per_src: int = 3, oversample: int = 4, seed: int = 42
+) -> str:
+    """DuckDB twin of operators/sampling.negative_edge_sample: dense
+    index by ascending id, hash-modulo candidate draws, real-neighbor/
+    self rejection, first-draw dedup, first ``num_per_src`` survivors.
+    The operator's two-phase distributed rank equals this plain
+    ``row_number() OVER (ORDER BY id) - 1`` exactly."""
+    draws = num_per_src * oversample
+    h = _sha60(f"concat_ws(':', dr.src, dr.draw, {seed})")
+    return (
+        _EDGES_CTE
+        + f""", vidx AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx FROM vertices
+), nv AS (SELECT COUNT(*) AS n FROM vertices),
+draws AS (
+  SELECT v.id AS src, d.range AS draw FROM vertices v, range(0, {draws}) d
+),
+cand AS MATERIALIZED (
+  SELECT dr.src, dr.draw, i.id AS dst
+  FROM draws dr, nv
+  JOIN vidx i ON i.idx = ({h}) % nv.n
+),
+surv AS (
+  SELECT c.src, c.draw, c.dst FROM cand c
+  WHERE c.src <> c.dst
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = c.src AND s.v = c.dst)
+),
+dedup AS (
+  SELECT src, draw, dst,
+         row_number() OVER (PARTITION BY src, dst ORDER BY draw) AS dup
+  FROM surv
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY draw) AS k
+  FROM dedup WHERE dup = 1
+)
+SELECT src, dst, CAST(k AS INT) AS k FROM ranked WHERE k <= {num_per_src}
+"""
+    )
+
+
 def _wcc_unrolled_sql(rounds: int, min_label: bool = False) -> str:
     """Label propagation unrolled to a fixed round count — exact fixed
     point provided the graph diameter ≤ rounds (asserted by the
@@ -902,6 +945,19 @@ def _q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return neighbor_sample(
         edges, seeds, fanouts=(5, 3), seed=42, hash_family="sha2"
+    )
+
+
+def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive-training negatives: per vertex 3 hash-drawn
+    # non-neighbors (sha2 family → DuckDB replays the draw)
+    from distributed_graph_analytics_spark.operators.sampling import (
+        negative_edge_sample,
+    )
+
+    edges = load_edges(spark, sf_dir)
+    return negative_edge_sample(
+        edges, num_per_src=3, oversample=4, seed=42, hash_family="sha2"
     )
 
 
@@ -2117,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_min_label": _q_wcc_min_label,
         "wcc_star": _q_wcc_star,
         "neighbor_sample": _q_neighbor_sample,
+        "negative_sample": _q_negative_sample,
         "pagerank_fixed10": _q_pagerank_fixed,
         "pagerank": _q_pagerank_converged,
         "pagerank_delta_push": _q_pagerank_delta_push,
@@ -2186,6 +2243,7 @@ GROUP BY id
         # label-prop unroll doubles as its oracle
         "wcc_star": _wcc_unrolled_sql(_WCC_ROUNDS),
         "neighbor_sample": _neighbor_sample_oracle_sql(),
+        "negative_sample": _negative_sample_oracle_sql(),
         "pagerank_fixed10": _pagerank_unrolled_sql(_PR_FIXED_ITERS),
         "pagerank_delta_push": _delta_push_unrolled_sql(rounds=24, eps=1e-6),
         "leaf_compression": _leaf_compression_unrolled_sql(_LC_ROUNDS),

@@ -77,3 +77,36 @@ def test_sha2_family_matches_xxhash_shape(spark):
     cb = b.groupBy("level").count().collect()
     assert {r["level"]: r["count"] for r in ca}[1] == 4
     assert {r["level"]: r["count"] for r in cb}[1] == 4
+
+
+def test_negative_sample_excludes_real_edges(spark):
+    from distributed_graph_analytics_spark.operators.sampling import (
+        negative_edge_sample,
+    )
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (1, 7)]
+    e = edges_df(spark, edge_list)
+    out = negative_edge_sample(e, num_per_src=2, oversample=4, seed=9).collect()
+    real = {(s, d) for s, d in edge_list} | {(d, s) for s, d in edge_list}
+    for r in out:
+        assert (r["src"], r["dst"]) not in real
+        assert r["src"] != r["dst"]
+        assert 1 <= r["k"] <= 2
+    # per-source cap and dedup
+    from collections import Counter
+
+    per_src = Counter(r["src"] for r in out)
+    assert all(c <= 2 for c in per_src.values())
+    pairs = [(r["src"], r["dst"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_negative_sample_deterministic(spark):
+    from distributed_graph_analytics_spark.operators.sampling import (
+        negative_edge_sample,
+    )
+
+    e = edges_df(spark, [(i, i + 1) for i in range(1, 30)])
+    a = sorted(tuple(r) for r in negative_edge_sample(e, 3, seed=5).collect())
+    b = sorted(tuple(r) for r in negative_edge_sample(e, 3, seed=5).collect())
+    assert a == b and len(a) > 0

@@ -35,6 +35,7 @@ from distributed_graph_analytics_spark.operators.pagerank import (  # noqa: E402
     pagerank_delta_push,
 )
 from distributed_graph_analytics_spark.operators.triangle import (  # noqa: E402
+    clustering_coefficient,
     triangle_count_per_vertex,
 )
 from distributed_graph_analytics_spark.operators.wcc import (  # noqa: E402
@@ -1051,6 +1052,12 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering_coefficient(load_edges(spark, sf_dir)).select(
+        "id", "triangles", "degree", F.round("cc", 9).alias("cc")
+    )
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _ = label_propagation(load_edges(spark, sf_dir), max_iterations=5)
     return labels.select("id", "label")
@@ -1824,6 +1831,88 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N2V_P = 2
+_N2V_Q = 3
+
+
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # second-order biased walks (operators/walks.py::node2vec_walks):
+    # integer-scaled node2vec weights (q, p*q, p) make the cumulative
+    # draw exact integer arithmetic, so the sha2 family replays
+    # bit-for-bit in DuckDB
+    from distributed_graph_analytics_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        load_edges(spark, sf_dir),
+        walk_length=_WALK_LEN,
+        p=_N2V_P,
+        q=_N2V_Q,
+        seed=_WALK_SEED,
+        hash_family="sha2",
+    )
+
+
+def _node2vec_unrolled_sql(walk_length: int, p: int, q: int, seed: int) -> str:
+    """Replay of operators/walks.py::node2vec_walks: step 1 uniform,
+    steps >= 2 draw r = H(walk, step, seed) mod sum(weights) over the
+    id-sorted candidate list with integer weights q (return),
+    p*q (common neighbor of prev), p (outward)."""
+    ctes = [
+        """nbr AS MATERIALIZED (
+    SELECT u AS v, v AS nb,
+           row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+    FROM sym
+), degw AS MATERIALIZED (SELECT u AS v, COUNT(*) AS deg FROM sym GROUP BY u),
+eset AS MATERIALIZED (SELECT DISTINCT u, v FROM sym),
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM vertices)"""
+    ]
+    h1 = _sha60(f"concat(w.walk_id, ':', 1, ':', {seed})")
+    ctes.append(
+        f"""w1 AS MATERIALIZED (
+  SELECT w.walk_id, w.cur AS prev, n.nb AS cur
+  FROM w0 w
+  JOIN degw d ON d.v = w.cur
+  JOIN nbr n ON n.v = w.cur AND n.rn = ({h1} % d.deg) + 1
+)"""
+    )
+    for t in range(2, walk_length + 1):
+        h = _sha60(f"concat(c.walk_id, ':', {t}, ':', {seed})")
+        ctes.append(
+            f"""cand{t} AS MATERIALIZED (
+  SELECT w.walk_id, w.cur, n.nb AS x, n.rn,
+         CASE WHEN n.nb = w.prev THEN {q}
+              WHEN e.u IS NOT NULL THEN {p * q}
+              ELSE {p} END AS wt
+  FROM w{t - 1} w
+  JOIN nbr n ON n.v = w.cur
+  LEFT JOIN eset e ON e.u = w.prev AND e.v = n.nb
+),
+w{t} AS MATERIALIZED (
+  SELECT c.walk_id, c.cur AS prev, c.x AS cur
+  FROM (
+    SELECT walk_id, cur, x,
+           coalesce(SUM(wt) OVER (PARTITION BY walk_id ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+           wt,
+           SUM(wt) OVER (PARTITION BY walk_id) AS tw
+    FROM cand{t}
+  ) c
+  WHERE c.cum <= ({h} % c.tw) AND ({h} % c.tw) < c.cum + c.wt
+)"""
+        )
+    selects = ["SELECT walk_id, 0 AS step, cur AS vertex FROM w0"] + [
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(1, walk_length + 1)
+    ]
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def _walks_unrolled_sql(walk_length: int, seed: int) -> str:
     """Replay of operators/walks.py with the sha2 hash family: per
     step, rank the current vertex's neighbors by id and take rank
@@ -2180,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leaf_compression": _q_leaf_compression,
         "leaf_compression_giraph": _q_leaf_compression_giraph,
         "triangles": _q_triangles,
+        "clustering_coeff": _q_clustering_coeff,
         "label_propagation": _q_label_propagation,
         "louvain_level0": _q_louvain_level0,
         "louvain_move_fixed4": _q_louvain_move_fixed4,
@@ -2206,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_fixed10": _q_ppr_fixed10,
         "link_prediction": _q_link_prediction,
         "random_walks": _q_random_walks,
+        "node2vec_walks": _q_node2vec_walks,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
@@ -2263,6 +2354,34 @@ FROM vertices v
 LEFT JOIN (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id) t
   ON t.id = v.id
 """,
+        # same wedge-closure enumeration; degree = canonical incident
+        # edges (every vertex in `vertices` has degree >= 1 by
+        # construction). Both sides compute 2.0*T/(d*(d-1.0)) in double
+        # and round to 9 decimals.
+        "clustering_coeff": _EDGES_CTE
+        + """
+, tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst AND e1.src < e2.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+), deg AS (
+  SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u
+)
+SELECT v.id,
+       coalesce(t.triangles, 0) AS triangles,
+       d.degree AS degree,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0)
+                       / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 9) AS cc
+FROM vertices v
+JOIN deg d ON d.id = v.id
+LEFT JOIN (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id) t
+  ON t.id = v.id
+""",
         "doc_fingerprint": """
 SELECT doc_id,
        sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_sha256
@@ -2305,6 +2424,9 @@ HAVING COUNT(*) > 1
             _LP_MIN_COMMON, _LP_MAX_APEX
         ),
         "random_walks": _walks_unrolled_sql(_WALK_LEN, _WALK_SEED),
+        "node2vec_walks": _node2vec_unrolled_sql(
+            _WALK_LEN, _N2V_P, _N2V_Q, _WALK_SEED
+        ),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,

@@ -65,6 +65,45 @@ def triangle_count(edges: DataFrame) -> int:
     return int(n)
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph: cc(v) = 2·T(v) / (d(v)·(d(v)−1)), with T(v) the
+    triangles through v and d(v) the simple (canonical-edge) degree;
+    cc = 0 when d < 2.
+
+    Engine addition on top of the degree-ordered triangle kernel — the
+    natural derived analytic next to total/per-vertex triangle counts
+    (reference scope: SURVEY.md §2.3-G). Plan shape: the wedge
+    enumeration dominates (O(m^1.5) oriented wedges); the degree join
+    is one extra hash aggregate + broadcast-or-shuffle join on id, and
+    the division is a codegen column expression — nothing here adds a
+    driver-side step, so the 100 TB story is the triangle kernel's.
+
+    Returns DataFrame(id LONG, triangles LONG, degree LONG, cc DOUBLE).
+    """
+    canon = canonicalize_edges(edges).select("src", "dst")
+    deg = (
+        canon.select(F.col("src").alias("id"))
+        .union(canon.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count_per_vertex(edges)
+    return tri.join(deg, "id", "left_outer").select(
+        "id",
+        "triangles",
+        F.coalesce("degree", F.lit(0)).alias("degree"),
+        F.when(
+            F.coalesce("degree", F.lit(0)) >= 2,
+            2.0
+            * F.col("triangles")
+            / (F.col("degree") * (F.col("degree") - 1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )
+
+
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts (each triangle credits all 3 corners).
 

@@ -43,6 +43,39 @@ def test_self_loop_only_vertex_gets_zero_row(spark):
     assert got == {1: 0, 2: 0, 3: 0}
 
 
+def test_clustering_coefficient(spark):
+    from distributed_graph_analytics_spark.operators.triangle import (
+        clustering_coefficient,
+    )
+
+    # triangle 1-2-3 plus pendant 3-4: cc = 1, 1, 1/3, 0
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1)],
+        "src long, dst long, weight long",
+    )
+    rows = {r["id"]: r for r in clustering_coefficient(df).collect()}
+    assert {v: rows[v]["degree"] for v in rows} == {1: 2, 2: 2, 3: 3, 4: 1}
+    assert {v: rows[v]["triangles"] for v in rows} == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert abs(rows[1]["cc"] - 1.0) < 1e-12
+    assert abs(rows[2]["cc"] - 1.0) < 1e-12
+    assert abs(rows[3]["cc"] - 1.0 / 3.0) < 1e-12
+    assert rows[4]["cc"] == 0.0
+
+
+def test_clustering_coefficient_clique(spark):
+    from distributed_graph_analytics_spark.operators.triangle import (
+        clustering_coefficient,
+    )
+
+    edges = edges_df(spark, G.TWO_CLIQUES_BRIDGED)
+    rows = {r["id"]: r for r in clustering_coefficient(edges).collect()}
+    # interior clique members (not on the bridge): cc = 1
+    full = [v for v in rows if rows[v]["degree"] == 4 and rows[v]["triangles"] == 6]
+    assert full and all(abs(rows[v]["cc"] - 1.0) < 1e-12 for v in full)
+    # bridge vertex: connects the two cliques, no closing edges
+    assert any(rows[v]["cc"] == 0.0 and rows[v]["triangles"] == 0 for v in rows)
+
+
 def test_graph_summary_fixture(spark):
     from distributed_graph_analytics_spark.operators.stats import graph_summary
 

@@ -1831,6 +1831,76 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLOSENESS_PIVOTS = 8
+#: oracle BFS unroll depth — must exceed the co-occurrence graph's hop
+#: diameter (measured ≤ 4 at sf0.001/sf0.01; the closure is a fixed
+#: point, so extra rounds are no-ops). tools/check_oracles.py would
+#: flag a too-small bound as a hash mismatch.
+_CLOSENESS_ROUNDS = 12
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot-sampled closeness/harmonic centrality
+    # (operators/closeness.py): K hash-chosen pivots, one multi-source
+    # BFS; sha2 family so the DuckDB unroll picks the identical pivots
+    from distributed_graph_analytics_spark.operators.closeness import (
+        closeness_centrality,
+    )
+
+    res = closeness_centrality(
+        load_edges(spark, sf_dir),
+        num_pivots=_CLOSENESS_PIVOTS,
+        seed=_WALK_SEED,
+        hash_family="sha2",
+    )
+    return res.select(
+        "id", "reached", "sum_dist", F.round("harmonic", 9).alias("harmonic")
+    )
+
+
+def _closeness_unrolled_sql(rounds: int, num_pivots: int, seed: int) -> str:
+    """Replay of operators/closeness.py: pivots = K smallest
+    (sha60(id:seed), id); BFS closure as `rounds` rounds of
+    expand + min-distance re-aggregate (exact once rounds >= hop
+    diameter)."""
+    h = _sha60(f"concat(id, ':', {seed})")
+    ctes = [
+        f"""piv AS MATERIALIZED (
+    SELECT id AS p FROM vertices ORDER BY {h}, id LIMIT {num_pivots}
+), b0 AS MATERIALIZED (SELECT p, p AS v, 0 AS d FROM piv)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT p, v, MIN(d) AS d FROM (
+    SELECT p, v, d FROM b{r - 1}
+    UNION ALL
+    SELECT b.p, s.v AS v, b.d + 1 AS d
+    FROM b{r - 1} b JOIN sym s ON s.u = b.v
+  ) GROUP BY p, v
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vt.id,
+       CAST(coalesce(a.reached, 0) AS BIGINT) AS reached,
+       CAST(coalesce(a.sum_dist, 0) AS BIGINT) AS sum_dist,
+       coalesce(a.harmonic, 0.0) AS harmonic
+FROM vertices vt
+LEFT JOIN (
+  SELECT v,
+         COUNT(CASE WHEN d > 0 THEN 1 END) AS reached,
+         SUM(d) AS sum_dist,
+         round(SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 9) AS harmonic
+  FROM b{rounds} GROUP BY v
+) a ON a.v = vt.id
+"""
+    )
+
+
 _N2V_P = 2
 _N2V_Q = 3
 
@@ -2297,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
+        "closeness": _q_closeness,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
@@ -2426,6 +2497,9 @@ HAVING COUNT(*) > 1
         "random_walks": _walks_unrolled_sql(_WALK_LEN, _WALK_SEED),
         "node2vec_walks": _node2vec_unrolled_sql(
             _WALK_LEN, _N2V_P, _N2V_Q, _WALK_SEED
+        ),
+        "closeness": _closeness_unrolled_sql(
+            _CLOSENESS_ROUNDS, _CLOSENESS_PIVOTS, _WALK_SEED
         ),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),

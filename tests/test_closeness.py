@@ -1,0 +1,95 @@
+"""Pivot-sampled closeness/harmonic centrality: python-twin replay
+(sha2 pivots + BFS), fixed-pivot exactness, degenerate inputs."""
+
+import collections
+import hashlib
+
+
+def _sha60(s):
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def _adj(pairs):
+    adj = collections.defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    return adj
+
+
+def _twin(pairs, num_pivots, seed):
+    adj = _adj(pairs)
+    pivots = sorted(adj, key=lambda v: (_sha60(f"{v}:{seed}"), v))[:num_pivots]
+    want = {}
+    dist = {}
+    for p in pivots:
+        d = {p: 0}
+        frontier = [p]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in d:
+                        d[w] = d[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        dist[p] = d
+    for v in adj:
+        ds = [dist[p][v] for p in pivots if v in dist[p]]
+        pos = [d for d in ds if d > 0]
+        want[v] = (
+            len(pos),
+            sum(ds),
+            round(sum(1.0 / d for d in pos), 9),
+        )
+    return want
+
+
+def test_closeness_replay_sha2_twin(spark):
+    from distributed_graph_analytics_spark.operators.closeness import (
+        closeness_centrality,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1), (2, 6), (7, 8)]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r["id"]: (r["reached"], r["sum_dist"], round(r["harmonic"], 9))
+        for r in closeness_centrality(
+            df, num_pivots=3, seed=42, hash_family="sha2"
+        ).collect()
+    }
+    assert got == _twin(pairs, 3, 42)
+
+
+def test_closeness_all_pivots_path(spark):
+    from distributed_graph_analytics_spark.operators.closeness import (
+        closeness_centrality,
+    )
+
+    # num_pivots >= |V|: every vertex is a pivot, distances are exact.
+    # Path 1-2-3: vertex 2 is closest (sum_dist 2), endpoints sum 3.
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {
+        r["id"]: (r["reached"], r["sum_dist"], r["harmonic"])
+        for r in closeness_centrality(df, num_pivots=10, seed=1).collect()
+    }
+    assert got[2] == (2, 2, 2.0)
+    assert got[1][0] == 2 and got[1][1] == 3 and abs(got[1][2] - 1.5) < 1e-12
+    assert got[3][0] == 2 and got[3][1] == 3 and abs(got[3][2] - 1.5) < 1e-12
+
+
+def test_closeness_disconnected_component_unreached(spark):
+    from distributed_graph_analytics_spark.operators.closeness import (
+        closeness_centrality,
+    )
+
+    # one pivot; whichever component it lands in, the other component's
+    # vertices get (0, 0, 0.0) rows rather than disappearing
+    df = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+    rows = {
+        r["id"]: (r["reached"], r["sum_dist"], r["harmonic"])
+        for r in closeness_centrality(df, num_pivots=1, seed=5).collect()
+    }
+    assert len(rows) == 4
+    assert sorted(rows.values()) == [(0, 0, 0.0), (0, 0, 0.0), (0, 0, 0.0), (1, 1, 1.0)]

@@ -1831,6 +1831,62 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_ITERS = 10
+
+
+def _q_hits_fixed10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs/authorities (operators/hits.py), exactly 10 L1-normalized
+    # rounds on the canonical directed co-occurrence edge table
+    from distributed_graph_analytics_spark.operators.hits import hits
+
+    return hits(load_edges(spark, sf_dir), iterations=_HITS_ITERS).select(
+        "id",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
+def _hits_unrolled_sql(iterations: int) -> str:
+    """Replay of operators/hits.py: per round, authority = in-sum of
+    hubs then L1-normalize, hub = out-sum of authorities then
+    L1-normalize; both sides round to 9 decimals at the end only."""
+    ctes = ["h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM vertices)"]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0.0) AS auth_raw
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.hub) AS x
+    FROM edges e JOIN h{i - 1} h ON h.id = e.src GROUP BY e.dst
+  ) s ON s.id = v.id
+),
+a{i} AS MATERIALIZED (
+  SELECT id, auth_raw / (SELECT SUM(auth_raw) FROM ar{i}) AS authority
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0.0) AS hub_raw
+  FROM vertices v LEFT JOIN (
+    SELECT e.src AS id, SUM(a.authority) AS x
+    FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+  ) s ON s.id = v.id
+),
+h{i} AS MATERIALIZED (
+  SELECT id, hub_raw / (SELECT SUM(hub_raw) FROM hr{i}) AS hub
+  FROM hr{i}
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.id, round(h.hub, 9) AS hub, round(a.authority, 9) AS authority
+FROM h{iterations} h JOIN a{iterations} a ON a.id = h.id
+"""
+    )
+
+
 _CLOSENESS_PIVOTS = 8
 #: oracle BFS unroll depth — must exceed the co-occurrence graph's hop
 #: diameter (measured ≤ 4 at sf0.001/sf0.01; the closure is a fixed
@@ -2368,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
         "closeness": _q_closeness,
+        "hits_fixed10": _q_hits_fixed10,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
@@ -2501,6 +2558,7 @@ HAVING COUNT(*) > 1
         "closeness": _closeness_unrolled_sql(
             _CLOSENESS_ROUNDS, _CLOSENESS_PIVOTS, _WALK_SEED
         ),
+        "hits_fixed10": _hits_unrolled_sql(_HITS_ITERS),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,

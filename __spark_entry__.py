@@ -1831,6 +1831,55 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_K = 5
+_TFIDF_MIN_LEN = 3
+
+#: DuckDB twin of functions/text.py::tfidf_top_terms — identical
+#: [a-z]+ extraction, linear-IDF score from IEEE-exact divisions, same
+#: (score DESC, term) tiebreak; round 9 AFTER ranking on both sides.
+_TFIDF_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), tt AS (
+  SELECT doc_id, term FROM t WHERE length(term) >= {_TFIDF_MIN_LEN}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS doclen FROM tf GROUP BY 1
+), dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT f.doc_id, f.term, f.tf,
+         (f.tf / d.doclen) * (n.n_docs / x.df) AS score
+  FROM tf f
+  JOIN dl d USING (doc_id)
+  JOIN dfx x USING (term)
+  CROSS JOIN nd n
+)
+SELECT doc_id, term, tf, round(score, 9) AS score, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= {_TFIDF_K}
+"""
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_graph_analytics_spark.functions.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(
+        docs, k=_TFIDF_K, min_term_len=_TFIDF_MIN_LEN
+    ).select("doc_id", "term", "tf", F.round("score", 9).alias("score"), "rank")
+
+
 _HITS_ITERS = 10
 
 
@@ -2425,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "closeness": _q_closeness,
         "hits_fixed10": _q_hits_fixed10,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
@@ -2559,6 +2609,7 @@ HAVING COUNT(*) > 1
             _CLOSENESS_ROUNDS, _CLOSENESS_PIVOTS, _WALK_SEED
         ),
         "hits_fixed10": _hits_unrolled_sql(_HITS_ITERS),
+        "tfidf_top_terms": _TFIDF_ORACLE_SQL,
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,

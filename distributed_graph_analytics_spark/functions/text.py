@@ -155,3 +155,67 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "quality",
         "lang_guess",
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    min_term_len: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF with a LINEAR
+    inverse-document-frequency ratio:
+
+        score(term, doc) = (tf / doclen) · (N / df)
+
+    Linear IDF (N/df instead of ln(N/df)) is chosen deliberately: every
+    float op is then an IEEE-correctly-rounded division/multiply of
+    exact integers, so the score — and therefore the top-k ORDERING —
+    is bit-identical across engines and the DuckDB oracle can replay it
+    with no log-rounding divergence; log-IDF is a one-line swap when
+    cross-engine exactness isn't needed. Ranking ties (same tf, df)
+    break on term ascending.
+
+    Terms are maximal lowercase [a-z]+ runs of length >= min_term_len;
+    doclen counts surviving terms; N counts ALL documents in the input
+    (including termless ones); df counts documents containing the term.
+
+    Scale shape: one explode to corpus-token rows, two map-side
+    combined aggregates ((doc, term) counts; per-term df via the
+    (term, doc) pre-group), the N scalar on a 1-row broadcast cross
+    join, and a per-doc row_number window that WindowGroupLimit
+    truncates to k map-side. No Python, no driver collect.
+
+    Returns (doc_id, term, tf BIGINT, score DOUBLE, rank INT).
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    ).where(F.length("term") >= min_term_len)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(doclen, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                (F.col("tf") / F.col("doclen"))
+                * (F.col("n_docs") / F.col("df"))
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

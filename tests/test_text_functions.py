@@ -104,3 +104,47 @@ def test_scrub_pii(spark):
     assert "555" not in got[1]["clean"]
     assert got[2]["clean"] == "no pii here"
     assert got[2]["n_email"] == got[2]["n_phone"] == got[2]["n_ipv4"] == 0
+
+
+def test_tfidf_top_terms(spark):
+    from distributed_graph_analytics_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "cat and dog and bird"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2, min_term_len=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets <= k rows, ranks are 1..k with descending scores
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(
+            rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1)
+        )
+    # doc 1's most characteristic term: "mat" (df=1) over "the"/"sat" (df>=2);
+    # "cat" also df=2. Terms < 3 chars ("on") are excluded entirely.
+    top1 = by_doc[1][0]
+    assert top1["term"] == "mat"
+    # exact linear-IDF score: tf=1, doclen=5 (the cat sat the mat), N=3, df=1
+    assert abs(top1["score"] - (1 / 5) * (3 / 1)) < 1e-15
+    assert all(len(r["term"]) >= 3 for r in rows)
+
+
+def test_tfidf_tiebreak_is_term_ascending(spark):
+    from distributed_graph_analytics_spark.functions.text import tfidf_top_terms
+
+    # two terms with identical tf and df tie on score -> term asc order
+    docs = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "zebra apple")], "doc_id long, text string"
+    )
+    rows = sorted(
+        tfidf_top_terms(docs, k=2).collect(), key=lambda r: (r["doc_id"], r["rank"])
+    )
+    assert [r["term"] for r in rows] == ["apple", "zebra", "apple", "zebra"]

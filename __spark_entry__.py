@@ -1831,6 +1831,48 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-row degree assortativity (operators/stats.py); the integer
+    # sums are exact, the final doubles a fixed IEEE-exact tree
+    from distributed_graph_analytics_spark.operators.stats import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(load_edges(spark, sf_dir))
+
+
+_ASSORTATIVITY_ORACLE_SQL = (
+    _EDGES_CTE
+    + """
+, deg AS (SELECT u AS id, COUNT(*) AS deg FROM sym GROUP BY u),
+wd AS (
+  SELECT d1.deg AS j, d2.deg AS k
+  FROM edges e
+  JOIN deg d1 ON d1.id = e.src
+  JOIN deg d2 ON d2.id = e.dst
+), s AS (
+  SELECT COUNT(*) AS m,
+         SUM(j * k) AS sum_jk,
+         SUM(j + k) AS sum_deg,
+         SUM(j * j + k * k) AS sum_sq
+  FROM wd
+)
+SELECT CAST(m AS BIGINT) AS m,
+       CAST(sum_jk AS BIGINT) AS sum_jk,
+       CAST(sum_deg AS BIGINT) AS sum_deg,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       round(CASE WHEN (sum_sq / (2.0 * m)
+                        - (sum_deg / (2.0 * m)) * (sum_deg / (2.0 * m))) <> 0
+                  THEN (sum_jk / m
+                        - (sum_deg / (2.0 * m)) * (sum_deg / (2.0 * m)))
+                       / (sum_sq / (2.0 * m)
+                          - (sum_deg / (2.0 * m)) * (sum_deg / (2.0 * m)))
+                  ELSE NULL END, 9) AS assortativity
+FROM s
+"""
+)
+
+
 _TFIDF_K = 5
 _TFIDF_MIN_LEN = 3
 
@@ -2475,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": _q_closeness,
         "hits_fixed10": _q_hits_fixed10,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "assortativity": _q_assortativity,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
@@ -2610,6 +2653,7 @@ HAVING COUNT(*) > 1
         ),
         "hits_fixed10": _hits_unrolled_sql(_HITS_ITERS),
         "tfidf_top_terms": _TFIDF_ORACLE_SQL,
+        "assortativity": _ASSORTATIVITY_ORACLE_SQL,
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,

@@ -102,3 +102,53 @@ def test_graph_summary_degenerate_inputs(spark):
     r = graph_summary(single).collect()[0]
     assert r["n_vertices"] == 2 and r["wedges"] == 0
     assert r["global_clustering"] is None
+
+
+def test_degree_assortativity_known_values(spark):
+    from distributed_graph_analytics_spark.operators.stats import (
+        degree_assortativity,
+    )
+
+    # star: every edge joins the hub (deg n) to a leaf (deg 1) -> r = -1
+    star = spark.createDataFrame(
+        [(i, 99, 1) for i in range(1, 4)], "src long, dst long, weight long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["m"] == 3 and abs(r["assortativity"] + 1.0) < 1e-12
+
+    # path 1-2-3: also perfectly disassortative (r = -1)
+    path = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    assert abs(degree_assortativity(path).collect()[0]["assortativity"] + 1.0) < 1e-12
+
+    # cycle: degree-regular -> denominator 0 -> NULL
+    cyc = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, weight long"
+    )
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+def test_degree_assortativity_python_twin(spark):
+    from distributed_graph_analytics_spark.operators.stats import (
+        degree_assortativity,
+    )
+    import collections
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6), (6, 7)]
+    deg = collections.Counter()
+    for u, v in pairs:
+        deg[u] += 1
+        deg[v] += 1
+    m = len(pairs)
+    sjk = sum(deg[u] * deg[v] for u, v in pairs)
+    sd = sum(deg[u] + deg[v] for u, v in pairs)
+    ss = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in pairs)
+    mean_deg = sd / (2.0 * m)
+    want = (sjk / m - mean_deg**2) / (ss / (2.0 * m) - mean_deg**2)
+    df = spark.createDataFrame(
+        [(u, v, 1) for u, v in pairs], "src long, dst long, weight long"
+    )
+    r = degree_assortativity(df).collect()[0]
+    assert (r["m"], r["sum_jk"], r["sum_deg"], r["sum_sq"]) == (m, sjk, sd, ss)
+    assert abs(r["assortativity"] - round(want, 9)) < 1e-12

@@ -1831,6 +1831,51 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_weighted10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edge-weighted PageRank (operators/hits.py::weighted_pagerank):
+    # rank splits over out-edges proportionally to co-occurrence weight
+    from distributed_graph_analytics_spark.operators.hits import (
+        weighted_pagerank,
+    )
+
+    return weighted_pagerank(load_edges(spark, sf_dir), iterations=10).select(
+        "id", F.round("rank", 9).alias("rank")
+    )
+
+
+def _weighted_pagerank_unrolled_sql(iters: int, damping: float = 0.85) -> str:
+    """Replay of weighted_pagerank: contribution rank·w/Σw_out, same
+    (1−d)/n base and fixed-iteration semantics as the unweighted
+    oracle; round 9 absorbs summation-order noise."""
+    ctes = [
+        """out_w AS MATERIALIZED (SELECT src, SUM(weight) AS sw FROM edges GROUP BY src),
+n_v AS (SELECT COUNT(*) AS n FROM vertices),
+wr0 AS MATERIALIZED (SELECT id, (SELECT 1.0 / n FROM n_v) AS rank FROM vertices)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""wr{k} AS MATERIALIZED (
+  SELECT v.id,
+         (SELECT (1 - {damping}) / n FROM n_v)
+           + {damping} * coalesce(m.msg_sum, 0) AS rank
+  FROM wr{k - 1} v
+  LEFT JOIN (
+      SELECT e.dst AS id, sum(r.rank * e.weight / d.sw) AS msg_sum
+      FROM edges e
+      JOIN wr{k - 1} r ON r.id = e.src
+      JOIN out_w d ON d.src = e.src
+      GROUP BY e.dst
+  ) m ON m.id = v.id
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM wr{iters}"
+    )
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row degree assortativity (operators/stats.py); the integer
     # sums are exact, the final doubles a fixed IEEE-exact tree
@@ -2518,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_fixed10": _q_hits_fixed10,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "assortativity": _q_assortativity,
+        "pagerank_weighted10": _q_pagerank_weighted10,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
@@ -2654,6 +2700,7 @@ HAVING COUNT(*) > 1
         "hits_fixed10": _hits_unrolled_sql(_HITS_ITERS),
         "tfidf_top_terms": _TFIDF_ORACLE_SQL,
         "assortativity": _ASSORTATIVITY_ORACLE_SQL,
+        "pagerank_weighted10": _weighted_pagerank_unrolled_sql(10),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,

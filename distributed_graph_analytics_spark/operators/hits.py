@@ -72,3 +72,54 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
         h = h.localCheckpoint(eager=True)
         a = a.localCheckpoint(eager=True)
     return h.join(a, "id").select("id", "hub", "authority")
+
+
+def weighted_pagerank(
+    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Edge-weighted PageRank: each vertex splits its rank over its
+    out-edges PROPORTIONALLY TO EDGE WEIGHT (contribution
+    rank·w/Σw_out) instead of uniformly — the natural variant for the
+    co-occurrence edge table, whose weights count shared (repo, commit)
+    containers. Giraph-DGA base semantics otherwise (directed canonical
+    edges, (1−d)/n base, no dangling redistribution — reference:
+    dga-giraph PageRankComputation; `operators/pagerank.py` documents
+    the unweighted contract this mirrors).
+
+    Fixed-iteration unroll semantics; same join-agg superstep shape as
+    hits() above (scalar n as a literal, per-round localCheckpoint).
+    For the 100 TB path the weighted adjacency packs exactly like
+    SSSP's (nb, w) struct arrays — this unpacked variant is the
+    reference implementation the pack would be parity-tested against.
+
+    Returns (id LONG, rank DOUBLE).
+    """
+    e = (
+        merge_parallel_edges(edges.where(F.col("src") != F.col("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = vertices_of(e).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    sw = e.groupBy("src").agg(F.sum("weight").alias("sw"))
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        msgs = (
+            e.join(sw, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("weight") / F.col("sw")
+                ).alias("msg_sum")
+            )
+        )
+        ranks = verts.join(msgs, "id", "left_outer").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("msg_sum", F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

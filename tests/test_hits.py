@@ -71,3 +71,49 @@ def test_hits_parallel_edges_and_self_loops_ignored(spark):
         spark.createDataFrame(messy, "src long, dst long, weight long"), 4
     ).collect()))
     assert a == b
+
+
+def _wpr_twin(pairs_w, iterations=10, damping=0.85):
+    import collections
+
+    out = collections.defaultdict(dict)
+    verts = set()
+    for u, v, w in pairs_w:
+        if u != v:
+            out[u][v] = out[u].get(v, 0) + w
+            verts |= {u, v}
+    n = len(verts)
+    rank = {v: 1.0 / n for v in verts}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        msg = {v: 0.0 for v in verts}
+        for u in out:
+            sw = sum(out[u].values())
+            for v, w in out[u].items():
+                msg[v] += rank[u] * w / sw
+        rank = {v: base + damping * msg[v] for v in verts}
+    return rank
+
+
+def test_weighted_pagerank_twin(spark):
+    from distributed_graph_analytics_spark.operators.hits import weighted_pagerank
+
+    pairs = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (4, 1, 1), (1, 2, 2)]
+    df = spark.createDataFrame(pairs, "src long, dst long, weight long")
+    got = {r["id"]: r["rank"] for r in weighted_pagerank(df, 10).collect()}
+    want = _wpr_twin(pairs, 10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted_split(spark):
+    from distributed_graph_analytics_spark.operators.hits import weighted_pagerank
+
+    # equal weights: the proportional split degenerates to rank/out_deg
+    pairs = [(1, 2, 7), (1, 3, 7), (2, 3, 7), (3, 1, 7)]
+    df = spark.createDataFrame(pairs, "src long, dst long, weight long")
+    got = {r["id"]: r["rank"] for r in weighted_pagerank(df, 6).collect()}
+    want = _wpr_twin([(u, v, 1) for u, v, _ in pairs], 6)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12

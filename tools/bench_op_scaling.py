@@ -24,7 +24,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OPS = ("link_prediction", "sessionize_capped")
+OPS = ("link_prediction", "sessionize_capped", "node2vec_walks", "closeness")
 
 
 def _worker(op: str, cpus: int) -> None:
@@ -77,6 +77,30 @@ def _worker(op: str, cpus: int) -> None:
             ev, gap="12 hours", max_duration="2 days"
         ).count()
         sec = time.time() - t0
+    elif op == "node2vec_walks":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.walks import (
+            node2vec_walks,
+        )
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        # driver-query configuration; the per-step candidate explode +
+        # membership join dominates
+        n_out = node2vec_walks(edges, walk_length=4, p=2, q=3).count()
+        sec = time.time() - t0
+    elif op == "closeness":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.closeness import (
+            closeness_centrality,
+        )
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        n_out = closeness_centrality(edges, num_pivots=8).count()
+        sec = time.time() - t0
     else:
         raise ValueError(op)
     print(
@@ -108,8 +132,20 @@ def main() -> dict:
     n_small = int(os.environ.get("SPARK_GRAFT_N", "1"))
     n_big = 4 * n_small
     repeats = int(os.environ.get("SPARK_GRAFT_OP_REPEATS", "2"))
+    # subset via SPARK_GRAFT_OPS=a,b — prior ops' recorded results are
+    # preserved (merged from the existing JSON), so probing new ops
+    # never discards committed evidence
+    ops = tuple(
+        o for o in os.environ.get("SPARK_GRAFT_OPS", ",".join(OPS)).split(",")
+        if o
+    )
     results: dict[str, dict] = {}
-    for op in OPS:
+    try:
+        with open(os.path.join(REPO, "BENCH", "op_scaling.json")) as f:
+            results.update(json.load(f).get("ops", {}))
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    for op in ops:
         legs: dict[int, list] = {n_small: [], n_big: []}
         detail = {}
         for _ in range(repeats):

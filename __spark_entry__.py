@@ -1831,6 +1831,58 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KTRUSS_K = 8
+_KTRUSS_ROUNDS = 6
+
+
+def _q_ktruss_peel6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-truss (operators/truss.py) under the fixed-round contract:
+    # exactly 6 support peels at threshold k-2 on BOTH engines, so the
+    # comparison is exact whether or not the peel has converged
+    from distributed_graph_analytics_spark.operators.truss import k_truss
+
+    return k_truss(
+        load_edges(spark, sf_dir), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    )
+
+
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """Replay of operators/truss.py::k_truss: per round, enumerate the
+    a<b<c triangles of the surviving canonical subgraph (the proven
+    `triangles`-oracle join), count each edge's memberships, keep
+    support >= k-2."""
+    thresh = k - 2
+    ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""tr{r} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e{r - 1} e1
+  JOIN e{r - 1} e2 ON e2.src = e1.dst AND e1.src < e2.dst
+  JOIN e{r - 1} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup{r} AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS s FROM (
+    SELECT a AS src, b AS dst FROM tr{r}
+    UNION ALL SELECT a AS src, c AS dst FROM tr{r}
+    UNION ALL SELECT b AS src, c AS dst FROM tr{r}
+  ) GROUP BY 1, 2
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM e{r - 1} e
+  LEFT JOIN sup{r} s ON s.src = e.src AND s.dst = e.dst
+  WHERE coalesce(s.s, 0) >= {thresh}
+)"""
+        )
+    return (
+        _EDGES_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT src, dst FROM e{rounds}"
+    )
+
+
 def _q_pagerank_weighted10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge-weighted PageRank (operators/hits.py::weighted_pagerank):
     # rank splits over out-edges proportionally to co-occurrence weight
@@ -2564,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "assortativity": _q_assortativity,
         "pagerank_weighted10": _q_pagerank_weighted10,
+        "ktruss_peel6": _q_ktruss_peel6,
         "graph_stats": _q_graph_stats,
         "sssp": _q_sssp,
         "doc_repetition": _q_doc_repetition,
@@ -2701,6 +2754,7 @@ HAVING COUNT(*) > 1
         "tfidf_top_terms": _TFIDF_ORACLE_SQL,
         "assortativity": _ASSORTATIVITY_ORACLE_SQL,
         "pagerank_weighted10": _weighted_pagerank_unrolled_sql(10),
+        "ktruss_peel6": _ktruss_unrolled_sql(_KTRUSS_K, _KTRUSS_ROUNDS),
         "graph_stats": _GRAPH_STATS_ORACLE_SQL,
         "sssp": _sssp_unrolled_sql(_SSSP_ROUNDS),
         "doc_repetition": _DOC_REPETITION_ORACLE_SQL,

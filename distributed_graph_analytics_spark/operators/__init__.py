@@ -37,3 +37,25 @@ from distributed_graph_analytics_spark.operators.temporal import (  # noqa: F401
     asof_join,
     interval_join,
 )
+from distributed_graph_analytics_spark.operators.triangle import (  # noqa: F401
+    clustering_coefficient,
+)
+from distributed_graph_analytics_spark.operators.walks import node2vec_walks  # noqa: F401
+from distributed_graph_analytics_spark.operators.closeness import (  # noqa: F401
+    closeness_centrality,
+)
+from distributed_graph_analytics_spark.operators.hits import (  # noqa: F401
+    hits,
+    weighted_pagerank,
+)
+from distributed_graph_analytics_spark.operators.stats import (  # noqa: F401
+    degree_assortativity,
+)
+from distributed_graph_analytics_spark.operators.truss import k_truss  # noqa: F401
+from distributed_graph_analytics_spark.operators.sampling import (  # noqa: F401
+    negative_edge_sample,
+    neighbor_sample,
+)
+from distributed_graph_analytics_spark.operators.star_components import (  # noqa: F401
+    star_components,
+)

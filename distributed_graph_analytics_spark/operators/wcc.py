@@ -218,29 +218,51 @@ def weakly_connected_components(
     def improves(cand, component):
         return cand < component if min_label else cand > component
 
+    arr_extreme = F.array_min if min_label else F.array_max
+
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        frontier = state.where("changed").select(
-            F.col("id").alias("v"), "component"
-        )
-        # messages: each frontier vertex pushes its label to all
-        # neighbors; frontier ≤ n rows → broadcast-or-shuffle decided
-        # from the known vertex count (state is a stats-less LogicalRDD).
-        # One join per packed table (one for the standalone symmetric
-        # pack; out + in under a shared ShuffleGraph) — each keeps its
-        # hash(v) side exchange-free, the union feeds one partial-
-        # aggregated merge.
-        parts = [
-            t.join(maybe_broadcast(frontier, n), "v").select(
-                F.explode("us").alias("_nb"),
-                F.col("component").alias("cand"),
+        if i == 1:
+            # Fused first superstep: at i == 1 every label still equals
+            # the vertex id (the controller enters a resumed run at
+            # start_iter+1 > 1, so i == 1 is only reachable with the
+            # pristine init state), so each sender's candidate IS its
+            # id and the per-receiver message reduces to
+            # array_max/array_min over the packed neighbor arrays —
+            # a ~|V|-row scan of rows already hash(v)-clustered,
+            # replacing the heaviest superstep of the run (full
+            # frontier: a 2|E|-row explode through one exchange into
+            # the max-aggregate). Labels are identical by construction,
+            # so the changed-count trajectory and every later round
+            # match the unfused kernel exactly.
+            parts = [
+                t.select("v", arr_extreme("us").cast("long").alias("cand"))
+                for t in nbr_tables
+            ]
+        else:
+            frontier = state.where("changed").select(
+                F.col("id").alias("v"), "component"
             )
-            for t in nbr_tables
-        ]
+            # messages: each frontier vertex pushes its label to all
+            # neighbors; frontier ≤ n rows → broadcast-or-shuffle decided
+            # from the known vertex count (state is a stats-less LogicalRDD).
+            # One join per packed table (one for the standalone symmetric
+            # pack; out + in under a shared ShuffleGraph) — each keeps its
+            # hash(v) side exchange-free, the union feeds one partial-
+            # aggregated merge.
+            parts = [
+                t.join(maybe_broadcast(frontier, n), "v")
+                .select(
+                    F.explode("us").alias("_nb"),
+                    F.col("component").alias("cand"),
+                )
+                .select(F.col("_nb").cast("long").alias("v"), "cand")
+                for t in nbr_tables
+            ]
         flat = parts[0]
         for p in parts[1:]:
             flat = flat.unionByName(p)
         msgs = (
-            flat.select(F.col("_nb").cast("long").alias("id"), "cand")
+            flat.select(F.col("v").alias("id"), "cand")
             .groupBy("id")
             .agg(merge("cand").alias("cand"))
         )

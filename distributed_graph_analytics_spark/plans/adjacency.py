@@ -135,14 +135,23 @@ class ShuffleGraph:
         return self._in
 
     def vertices(self) -> DataFrame:
-        """(id LONG) distinct vertex set, persisted; built once from
-        the adjacency senders plus one pruned dst scan (dangling
-        vertices have no out-adjacency row)."""
+        """(id LONG) distinct vertex set, persisted; derived from the
+        two packs' KEY columns instead of a |E|-row dst scan: the out
+        pack's src column covers every vertex with out-edges and the
+        in pack's v column covers every vertex with in-edges (dangling
+        included), so the union of two ~|V|-row key scans is the exact
+        vertex set. The standalone (non-shared) kernels pay a
+        distinct over |E| dst rows here; in the pipeline both packs
+        exist anyway, so the distinct shrinks from O(|E|) to O(|V|)
+        rows — at the x64 evidence input that removes a 76.5M-row
+        exchange+aggregate (the worst-scaling shape of the old
+        pr_build phase) from the build entirely."""
         if self._vertices is None:
             out = self.out_adjacency()
+            inn = self.in_adjacency()
             self._vertices = (
                 out.select(F.col("src").alias("id"))
-                .unionByName(self.edges.select(F.col("dst").alias("id")))
+                .unionByName(inn.select(F.col("v").alias("id")))
                 .distinct()
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )

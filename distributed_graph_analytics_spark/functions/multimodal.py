@@ -275,6 +275,19 @@ def _rgb_features(w: int, h: int, rgb: bytes) -> list[float]:
     ]
 
 
+
+def _stdlib_png_allowed() -> bool:
+    """Env opt-in for the per-pixel stdlib PNG codec. The stdlib
+    fallback is ~100x slower than Pillow's C decode loops — fine for a
+    dev container without Pillow, but on a production cluster a
+    silently 100x-slower decode path is worse than a loud failure, so
+    Pillow-absent decode/resize raises unless
+    ``SPARK_GRAFT_STDLIB_PNG=1`` explicitly accepts the slow path
+    (tests pin the raise-by-default)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_STDLIB_PNG", "0") == "1"
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode an image payload into an 8-dim feature vector
     [width, height, mean_R, mean_G, mean_B, min_lum, max_lum, aspect].
@@ -291,11 +304,12 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         return [b / 255.0 for b in h[:8]]
     Image = _pil()
     if Image is None:
-        if payload[:8] == _PNG_MAGIC:
+        if payload[:8] == _PNG_MAGIC and _stdlib_png_allowed():
             return _rgb_features(*decode_png(payload))
         raise NotImplementedError(
-            "non-PNG image decoding requires Pillow (not installed); "
-            "run with fake=True for the deterministic stand-in"
+            "image decoding requires Pillow (not installed); set "
+            "SPARK_GRAFT_STDLIB_PNG=1 to accept the ~100x-slower "
+            "stdlib PNG codec, or run with fake=True"
         )
     with Image.open(io.BytesIO(payload)) as im:
         rgb = im.convert("RGB")
@@ -434,10 +448,11 @@ def resize_image(
         return (h * (n // len(h) + 1))[:n]
     Image = _pil()
     if Image is None:
-        if payload[:8] != _PNG_MAGIC:
+        if payload[:8] != _PNG_MAGIC or not _stdlib_png_allowed():
             raise NotImplementedError(
-                "non-PNG image resizing requires Pillow (not installed); "
-                "run with fake=True for the deterministic stand-in"
+                "image resizing requires Pillow (not installed); set "
+                "SPARK_GRAFT_STDLIB_PNG=1 to accept the ~100x-slower "
+                "stdlib PNG codec, or run with fake=True"
             )
         sw, sh, rgb = decode_png(payload)
         out = bytearray(width * height * 3)

@@ -32,12 +32,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
 
 from distributed_graph_analytics_spark.functions.dedup import _hash64
 from distributed_graph_analytics_spark.operators.walks import (
     _pack_sorted_adjacency,
 )
+from distributed_graph_analytics_spark.plans.iteration import materialize, truncate
 from distributed_graph_analytics_spark.sources.edges import canonicalize_edges
 
 
@@ -74,9 +74,22 @@ def closeness_centrality(
         .select("p")
     )
 
-    frontier = pivots.select(
-        "p", F.col("p").alias("v"), F.lit(0).cast("int").alias("d")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # BFS loop discipline (SURVEY §4 "lineage truncation", the repo's
+    # own rule for every iterative loop): each round's hop is
+    # materialized through plans.iteration.materialize — ONE job that
+    # fills the cache, truncates lineage AND statistics to a LogicalRDD
+    # leaf, and delivers the emptiness scalar via Observation. The
+    # visited set is a plain union of the checkpointed hop leaves (a
+    # width-r union of leaves, not an O(rounds)-deep join lineage), so
+    # plan analysis stays O(rounds) shallow on high-diameter graphs
+    # (path/road topologies) and each (pivot, vertex) row is cached
+    # exactly once — the old per-round ``visited`` persists duplicated
+    # every prior row into each round's cache and leaked all of them
+    # past return (tests/test_closeness.py pins the high-diameter
+    # path-graph case).
+    frontier = truncate(
+        pivots.select("p", F.col("p").alias("v"), F.lit(0).cast("int").alias("d"))
+    )
     visited = frontier
     for r in range(1, max_rounds + 1):
         hop = (
@@ -88,11 +101,11 @@ def closeness_centrality(
             .groupBy("p", "v")
             .agg(F.min("d").alias("d"))
             .join(visited.select("p", "v"), ["p", "v"], "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if hop.count() == 0:
+        hop, m = materialize(hop, metrics={"rows": F.count(F.lit(1))})
+        if int(m["rows"] or 0) == 0:
             break
-        visited = visited.unionByName(hop).persist(StorageLevel.MEMORY_AND_DISK)
+        visited = visited.unionByName(hop)
         frontier = hop
 
     agg = visited.groupBy("v").agg(

@@ -71,6 +71,11 @@ def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
         # otherwise compound Catalyst analysis cost quadratically
         h = h.localCheckpoint(eager=True)
         a = a.localCheckpoint(eager=True)
+    # h/a are checkpointed — their lineage no longer references e/verts,
+    # so the caches must not outlive the call (a long-lived driver
+    # session running many queries otherwise accumulates leaked blocks)
+    e.unpersist()
+    verts.unpersist()
     return h.join(a, "id").select("id", "hub", "authority")
 
 
@@ -122,4 +127,7 @@ def weighted_pagerank(
             ).alias("rank"),
         )
         ranks = ranks.localCheckpoint(eager=True)
+    # ranks is checkpointed — drop the build caches (see hits above)
+    e.unpersist()
+    verts.unpersist()
     return ranks

@@ -5,6 +5,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This dev container has no Pillow: the stdlib PNG codec IS the real
+# image path here, so tests opt in to it once. Production keeps the
+# loud raise-by-default (pinned by
+# test_pillow_absent_raises_by_default_even_for_png, which delenv's
+# this).
+os.environ.setdefault("SPARK_GRAFT_STDLIB_PNG", "1")
+
 from distributed_graph_analytics_spark.session import get_spark  # noqa: E402
 
 

@@ -230,3 +230,24 @@ def test_resize_images_real_codecs(spark):
     for r in out:
         w, h, rgb = decode_png(bytes(r["payload"]))
         assert (w, h) == (8, 6) and len(rgb) == 8 * 6 * 3
+
+
+def test_pillow_absent_raises_by_default_even_for_png(monkeypatch):
+    """Production-cluster honesty gate: without Pillow, even a PNG
+    payload raises by default — the per-pixel stdlib codec is ~100x
+    slower and must be an explicit opt-in (SPARK_GRAFT_STDLIB_PNG=1),
+    never a silent slow path."""
+    import distributed_graph_analytics_spark.functions.multimodal as mm
+
+    png = mm.encode_png(2, 2, mm._hash_stream("t", 12))
+    monkeypatch.setattr(mm, "_pil", lambda: None)
+    monkeypatch.delenv("SPARK_GRAFT_STDLIB_PNG", raising=False)
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_STDLIB_PNG"):
+        mm.decode_image(png)
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_STDLIB_PNG"):
+        mm.resize_image(png, 2, 2)
+    # opt-in flips both to the stdlib codec
+    monkeypatch.setenv("SPARK_GRAFT_STDLIB_PNG", "1")
+    feats = mm.decode_image(png)
+    assert len(feats) == 8 and feats[0] == 2.0 and feats[1] == 2.0
+    assert mm.resize_image(png, 1, 1)[:8] == png[:8]

@@ -60,3 +60,25 @@ def test_ktruss_k2_keeps_everything(spark):
     )
     got = {(r["src"], r["dst"]) for r in k_truss(df, k=2, rounds=3).collect()}
     assert got == set(pairs)
+
+
+def test_ktruss_incremental_matches_full_per_round(spark):
+    """The incremental support maintenance (round 2+ updates the
+    standing support table by the triangles lost to dropped edges)
+    must equal the full per-round recomputation at EVERY round — the
+    fixed-round driver oracle depends on per-round equality, not just
+    the fixed point."""
+    from distributed_graph_analytics_spark.operators.truss import k_truss
+
+    # cascade fixture: triangle chain + a clique tail so several rounds
+    # drop a different, shrinking edge set
+    pairs = [
+        (1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5), (3, 5), (5, 6),
+        (6, 7), (6, 8), (7, 8), (7, 9), (8, 9), (9, 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, v, 1) for u, v in pairs], "src long, dst long, weight long"
+    )
+    for r in range(1, 6):
+        got = {(x["src"], x["dst"]) for x in k_truss(df, k=3, rounds=r).collect()}
+        assert got == _truss_twin(pairs, 3, rounds=r), f"round {r}"

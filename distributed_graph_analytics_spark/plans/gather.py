@@ -228,13 +228,12 @@ def _emit_buckets(k: np.ndarray, v: np.ndarray, width: int, n_part: int):
         )
 
 
-def _swap_bucket_fn(n: int, n_part: int):
-    """Reverse-direction build pass over ALREADY-BUILT blobs: read the
-    sorted (k, v) chunks of one direction and re-bucket them keyed by
-    the neighbor column. The raw-edge Arrow bridge and the dictionary
-    encode are paid once per graph (on the first direction); the second
-    direction is a blob-speed re-shuffle of ~|E| already-encoded int32
-    pairs."""
+def _rebucket_fn(n: int, n_part: int, swap: bool):
+    """Re-bucket ALREADY-BUILT blobs of one direction, optionally
+    swapping so the neighbor column becomes the key. The raw-edge Arrow
+    bridge and the dictionary encode are paid once per graph (on the
+    first direction); a re-bucket pass is a blob-speed re-shuffle of
+    ~|E| already-encoded int32 pairs."""
     width = -(-n // n_part) or 1
 
     def fn(batches):
@@ -244,14 +243,50 @@ def _swap_bucket_fn(n: int, n_part: int):
             vs.append(_concat_blobs(batch, 1, np.int32))
         if not ks:
             return
-        # swapped: the neighbor column becomes the key
-        k = np.concatenate(vs) if len(vs) > 1 else vs[0]
-        v = np.concatenate(ks) if len(ks) > 1 else ks[0]
+        k = np.concatenate(ks) if len(ks) > 1 else ks[0]
+        v = np.concatenate(vs) if len(vs) > 1 else vs[0]
+        if swap:
+            k, v = v, k
         if len(k) == 0:
             return
         yield from _emit_buckets(k, v, width, n_part)
 
     return fn
+
+
+def _swap_bucket_fn(n: int, n_part: int):
+    """Reverse-direction build pass: see ``_rebucket_fn``."""
+    return _rebucket_fn(n, n_part, swap=True)
+
+
+def _merge_sort_dedupe_fn(batches):
+    """Build pass B with adjacent-duplicate elimination: after the
+    per-partition sort, drop repeated (k, v) pairs — the gather twin of
+    the shuffle kernels' defensive ``distinct()`` on the symmetric
+    view. Needed by per-key MULTISET kernels (k-core's h-index counts
+    each neighbor once); max/min/sum kernels keep using
+    ``_merge_sort_fn``."""
+    ks, vs = [], []
+    for batch in batches:
+        ks.append(_concat_blobs(batch, 1, np.int32))
+        vs.append(_concat_blobs(batch, 2, np.int32))
+    if not ks:
+        return
+    k = np.concatenate(ks) if len(ks) > 1 else ks[0]
+    v = np.concatenate(vs) if len(vs) > 1 else vs[0]
+    if len(k) == 0:
+        return
+    k, v = _sort_pairs(k, v)
+    keep = np.ones(len(k), dtype=bool)
+    keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+    k, v = k[keep], v[keep]
+    _, kbs, vbs = _chunk_rows(k, v)
+    for lo in range(0, len(kbs), BLOB_BATCH_ROWS):
+        sl = slice(lo, lo + BLOB_BATCH_ROWS)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(kbs[sl], type=pa.binary()), pa.array(vbs[sl], type=pa.binary())],
+            ["kb", "vb"],
+        )
 
 
 def _merge_sort_fn(batches):
@@ -318,6 +353,7 @@ class GatherGraph:
     n: int
     _in_adj: DataFrame | None = field(default=None, repr=False)
     _out_adj: DataFrame | None = field(default=None, repr=False)
+    _sym_adj: DataFrame | None = field(default=None, repr=False)
     _deg: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
@@ -390,6 +426,37 @@ class GatherGraph:
                 self._out_adj = self._build_adj(key_is_dst=False, n_part=n_part)
         return self._out_adj
 
+    def sym_adjacency_merged(self, n_part: int) -> DataFrame:
+        """Both directions MERGED into one sorted, deduped blob table —
+        each key's full undirected neighbor run lives contiguously in
+        exactly one partition. Required by per-key multiset kernels
+        (k-core's h-index needs every neighbor value of a key together,
+        and counts each neighbor once — the shuffle twin's
+        ``distinct()`` semantics); the cheaper un-merged
+        ``sym_adjacency`` union serves max/min/sum kernels. Built from
+        the in-adjacency blobs (identity + swap re-buckets through one
+        blob exchange, merge-sort-dedupe per bucket) — the raw edges
+        are never re-read."""
+        if self._sym_adj is None:
+            spark = self.edges.sparkSession
+            base = self.in_adjacency(n_part)
+            ident = base.mapInArrow(
+                _rebucket_fn(self.n, n_part, swap=False),
+                "pid int, kb binary, vb binary",
+            )
+            swapped = base.mapInArrow(
+                _rebucket_fn(self.n, n_part, swap=True),
+                "pid int, kb binary, vb binary",
+            )
+            merged = (
+                ident.union(swapped)
+                .repartition(n_part, "pid")
+                .mapInArrow(_merge_sort_dedupe_fn, "kb binary, vb binary")
+            )
+            with arrow_batch(spark, BLOB_BATCH_ROWS):
+                self._sym_adj = merged.localCheckpoint(eager=True)
+        return self._sym_adj
+
     def sym_adjacency(self, n_part: int) -> DataFrame:
         """Both directions as one DataFrame: a narrow union of the two
         sorted blob tables (partitions stay intact, so per-partition
@@ -419,7 +486,7 @@ class GatherGraph:
     def release(self) -> None:
         """Drop references; localCheckpoint blocks are freed by the
         ContextCleaner after the next periodic GC."""
-        self._in_adj = self._out_adj = None
+        self._in_adj = self._out_adj = self._sym_adj = None
         self._deg = None
 
 
@@ -493,6 +560,86 @@ def gather_extreme(
     return _run_gather(
         adj, w, n, _max_reduce, np.int64, np.iinfo(np.int64).min, np.maximum
     )
+
+
+def _hindex_fn(w_bc):
+    """mapInArrow fn: per-key h-index of the capped neighbor values
+    ``min(w[nbr], w[key])`` over a MERGED sym-adjacency (each key's run
+    entirely inside one partition, sorted). Runs may still split across
+    Arrow batches inside the partition, so the tail run of every batch
+    is carried into the next and flushed at iterator end — h-index is
+    not partial-mergeable, and this carry is what lets the kernel stay
+    one shuffle-free pass. Within a run: order values descending, then
+    H = max_i min(value_i, i+1) — vectorized with one lexsort +
+    reduceat per batch, no per-row Python."""
+
+    def fn(batches):
+        w = w_bc.value
+
+        def run_hindex(keys, nbrs):
+            vals = np.minimum(w[nbrs], w[keys])
+            order = np.lexsort((-vals, keys))
+            sk = keys[order]
+            sv = vals[order]
+            starts = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+            counts = np.diff(np.concatenate((starts, [len(sk)])))
+            ranks = np.arange(len(sk), dtype=np.int64) - np.repeat(starts, counts)
+            cand = np.minimum(sv, ranks + 1)
+            h = np.maximum.reduceat(cand, starts)
+            return sk[starts].astype(np.int32), h.astype(np.int64)
+
+        def emit(keys, nbrs):
+            rk, rh = run_hindex(keys, nbrs)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([rk.tobytes()], type=pa.binary()),
+                    pa.array([rh.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+        pend_k = pend_v = None
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            if len(keys) == 0:
+                continue
+            if pend_k is not None and len(pend_k):
+                keys = np.concatenate((pend_k, keys))
+                nbrs = np.concatenate((pend_v, nbrs))
+            # hold back the (possibly continuing) last run
+            cut = np.flatnonzero(keys != keys[-1])
+            cut = int(cut[-1]) + 1 if len(cut) else 0
+            pend_k, pend_v = keys[cut:], nbrs[cut:]
+            if cut == 0:
+                continue
+            yield emit(keys[:cut], nbrs[:cut])
+        if pend_k is not None and len(pend_k):
+            yield emit(pend_k, pend_v)
+
+    return fn
+
+
+def gather_hindex(adj: DataFrame, w: np.ndarray, n: int) -> np.ndarray:
+    """One shuffle-free k-core superstep over a MERGED sym adjacency
+    (``GatherGraph.sym_adjacency_merged``): per key k,
+    ``min(w[k], H({min(w[u], w[k]) : u in N(k)}))`` — int64[n];
+    keys with no adjacency row keep w. Keys are unique across the
+    returned partials (merged table: one run per key, one partition
+    per key), so the driver merge is a plain indexed assignment."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(w)
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(_hindex_fn(w_bc), "kb binary, rb binary").toPandas()
+    finally:
+        w_bc.destroy()
+    out = w.copy()
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        k = np.frombuffer(kb, dtype=np.int32)
+        out[k] = np.minimum(out[k], np.frombuffer(rb, dtype=np.int64))
+    return out
 
 
 def vector_to_df(

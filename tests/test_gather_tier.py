@@ -227,3 +227,65 @@ def test_gather_duplicate_edges_defensive_distinct(spark):
             e, strategy="gather", edges_canonical=canonical
         )
         assert {r["component"] for r in comp.collect()} == {2}
+
+
+def test_kcore_gather_matches_shuffle_exactly(graph):
+    """Gather-tier k-core: identical core numbers AND identical
+    iteration trajectory (changed counts, halt round) as the frontier
+    shuffle kernel — integer h-index arithmetic is bit-exact, the
+    merged sym-adjacency dedupes parallel edges exactly like the
+    shuffle kernel's distinct(), and a full recompute of a clean
+    vertex reproduces its old value."""
+    from distributed_graph_analytics_spark.operators.kcore import core_numbers
+
+    g_res, g_stats = core_numbers(graph, strategy="gather")
+    s_res, s_stats = core_numbers(graph, strategy="shuffle")
+    got = {(r["id"], r["core"]) for r in g_res.collect()}
+    want = {(r["id"], r["core"]) for r in s_res.collect()}
+    assert got == want
+    assert g_stats.iterations == s_stats.iterations
+    assert [h["changed"] for h in g_stats.history] == [
+        h["changed"] for h in s_stats.history
+    ]
+
+
+def test_kcore_gather_wavefront_fixture(spark):
+    """The path+clique fixture that pins the shuffle frontier: the
+    gather tier must walk the identical many-round wavefront
+    trajectory and land on the identical coreness."""
+    from distributed_graph_analytics_spark.operators.kcore import core_numbers
+
+    path = [(i, i + 1) for i in range(100, 140)]
+    clique = [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
+    df = spark.createDataFrame(path + clique, ["src", "dst"])
+    g_res, g_stats = core_numbers(df, strategy="gather")
+    s_res, s_stats = core_numbers(df, strategy="shuffle")
+    assert {(r["id"], r["core"]) for r in g_res.collect()} == {
+        (r["id"], r["core"]) for r in s_res.collect()
+    }
+    assert g_stats.iterations == s_stats.iterations > 5
+    assert [h["changed"] for h in g_stats.history] == [
+        h["changed"] for h in s_stats.history
+    ]
+
+
+def test_kcore_gather_hub_chunk_split(spark, monkeypatch):
+    """A hub whose neighbor run spans many blob chunks (and therefore
+    several Arrow batches) exercises the cross-batch tail carry in
+    gather_hindex — h-index is not partial-mergeable, so this is the
+    correctness-critical path."""
+    import distributed_graph_analytics_spark.plans.gather as gather
+
+    monkeypatch.setattr(gather, "CHUNK_EDGES", 8)
+    monkeypatch.setattr(gather, "BLOB_BATCH_ROWS", 2)
+    from distributed_graph_analytics_spark.operators.kcore import core_numbers
+
+    hub = [(0, i) for i in range(1, 60)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(hub + tri, ["src", "dst"])
+    g_res, g_stats = core_numbers(df, strategy="gather")
+    s_res, s_stats = core_numbers(df, strategy="shuffle")
+    assert {(r["id"], r["core"]) for r in g_res.collect()} == {
+        (r["id"], r["core"]) for r in s_res.collect()
+    }
+    assert g_stats.iterations == s_stats.iterations

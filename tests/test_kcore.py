@@ -85,7 +85,11 @@ def test_frontier_shrinks_on_converging_fixture(spark):
     path = [(i, i + 1) for i in range(100, 140)]
     clique = [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
     df = spark.createDataFrame(path + clique, ["src", "dst"])
-    got, stats = core_numbers(df)
+    # the frontier is a shuffle-tier mechanism: force that tier (auto
+    # would pick the gather kernel at this |V|, which recomputes all
+    # vertices in one vectorized pass instead — tier parity is pinned
+    # by tests/test_gather_tier.py)
+    got, stats = core_numbers(df, strategy="shuffle")
     g = {r["id"]: r["core"] for r in got.collect()}
     assert g == peel_coreness(path + clique)
     rec = [h["recomputed"] for h in stats.history]

@@ -88,7 +88,11 @@ def main() -> dict:
     from distributed_graph_analytics_spark.operators.kcore import core_numbers
 
     t0 = time.time()
-    cores, kc_stats = core_numbers(edges, edges_canonical=True)
+    # shares the same GatherGraph (dictionary + in-adjacency already
+    # paid by PR/WCC; kcore derives its merged sym blobs from it)
+    cores, kc_stats = core_numbers(
+        edges, edges_canonical=True, gather_graph=g, strategy=tier
+    )
     cores.count()
     t_kcore = time.time() - t0
 

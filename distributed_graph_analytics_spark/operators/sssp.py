@@ -65,11 +65,26 @@ def sssp(
     source: int,
     max_iterations: int = 200,
     num_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, IterationStats]:
     """Returns (dists(id LONG, dist LONG), stats) for vertices
     reachable from ``source`` (unreachable vertices are absent, like
     the HBSE internal SSSP). Edge weights are the canonical-merged
-    co-occurrence counts (LONG ≥ 1)."""
+    co-occurrence counts (LONG ≥ 1).
+
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    SPARK_GRAFT_GATHER_MAX_V (plans/gather.py — one shuffle-free
+    min-plus relaxation per superstep over weighted sym blobs; integer
+    distances make the per-round values, changed counts, and halt
+    identical to the frontier shuffle kernel, pinned by
+    tests/test_gather_tier.py), else the shuffle kernel below;
+    "gather"/"shuffle" force a tier. A full relaxation of an
+    already-settled vertex reproduces its distance (min over all
+    neighbors was applied the round after each neighbor last changed),
+    so the full-recompute gather trajectory equals the frontier
+    trajectory exactly."""
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown sssp strategy {strategy!r}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if "weight" not in edges.columns:
@@ -77,6 +92,21 @@ def sssp(
     canon = canonicalize_edges(edges).select(
         "src", "dst", F.col("weight").cast("long").alias("w")
     )
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            gather_tier_applies,
+            max_gather_vertices,
+        )
+
+        if strategy == "gather" or gather_tier_applies(canon):
+            g = GatherGraph.build(
+                canon.withColumnRenamed("w", "weight")
+            )
+            if strategy == "gather" or g.n <= max_gather_vertices():
+                return _sssp_gather(
+                    g, source, max_iterations=max_iterations, n_part=n_part
+                )
     sym = canon.select(
         F.col("src").alias("v"), F.col("dst").alias("nb"), "w"
     ).union(canon.select(F.col("dst").alias("v"), F.col("src").alias("nb"), "w"))
@@ -133,3 +163,67 @@ def sssp(
         init, step, converged=lambda m, i: m["changed"] == 0, name="sssp"
     )
     return final.select("id", "dist"), stats
+
+
+def _sssp_gather(
+    g, source: int, max_iterations: int, n_part: int
+) -> tuple[DataFrame, IterationStats]:
+    """Gather-tier SSSP (plans/gather.py): per superstep ONE
+    shuffle-free vectorized min-plus pass over the weighted symmetric
+    blob adjacency (``gather_min_plus``); distances are exact int64
+    and the trajectory matches the shuffle kernel round for round."""
+    import time
+
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        _SSSP_INF,
+        gather_min_plus,
+        vector_to_df,
+    )
+
+    t0 = time.time()
+    spark = g.edges.sparkSession
+    stats = IterationStats(kernel="gather")
+    n = g.n
+    src_pos = np.searchsorted(g.uniq, source) if n else 0
+    if n == 0 or src_pos >= n or g.uniq[src_pos] != source:
+        # source absent from the (self-loop-free canonical) graph:
+        # only the source itself is "reached" (dist 0) — exactly the
+        # shuffle kernel, whose single init row never joins any packed
+        # adjacency row and converges after one changed=0 round
+        stats.converged = True
+        stats.iterations = 1
+        stats.history.append({"changed": 0, "sec": 0.0})
+        return (
+            vector_to_df(
+                spark,
+                np.asarray([source], dtype=np.int64),
+                np.zeros(1, dtype=np.int64),
+                "dist",
+                "long",
+            ),
+            stats,
+        )
+    adj = g.sym_weighted_adjacency(n_part)
+    d = np.full(n, _SSSP_INF, dtype=np.int64)
+    d[src_pos] = 0
+    for i in range(1, max_iterations + 1):
+        t_iter = time.time()
+        new = gather_min_plus(adj, d, n)
+        changed = int(np.count_nonzero(new < d))
+        d = new
+        stats.iterations = i
+        stats.history.append(
+            {"changed": changed, "sec": round(time.time() - t_iter, 3)}
+        )
+        if changed == 0:
+            stats.converged = True
+            break
+    reached = d < _SSSP_INF
+    out = vector_to_df(
+        spark, g.orig_id[reached], d[reached], "dist", "long"
+    )
+    g.release()
+    stats.wall_seconds = time.time() - t0
+    return out, stats

@@ -145,7 +145,12 @@ def _triangles_incident(canon: DataFrame, drops: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def k_truss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 6,
+    _round_stats: list | None = None,
+) -> DataFrame:
     """Surviving canonical edges (src, dst) after ``rounds`` support
     peels at threshold k−2; equals the true k-truss when the peel
     converges within ``rounds`` (early-out on a no-drop round).
@@ -166,6 +171,8 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
     (VERDICT r3 "What's wrong #2")."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    import time as _time
+
     thresh = k - 2
     cur = (
         canonicalize_edges(edges)
@@ -173,7 +180,8 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sup = None
-    for _ in range(rounds):
+    for _round in range(1, rounds + 1):
+        _t0 = _time.time()
         if sup is None:
             # round 1: full enumeration, support for every current edge
             raw, o = _edge_support(cur)
@@ -189,7 +197,16 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
             o.unpersist()
         drops = sup.where(F.col("support") < thresh).select("src", "dst")
         drops = drops.localCheckpoint(eager=True)
-        if drops.count() == 0:
+        n_drop = drops.count()
+        if n_drop == 0:
+            if _round_stats is not None:
+                _round_stats.append(
+                    {
+                        "round": _round,
+                        "dropped": 0,
+                        "sec": round(_time.time() - _t0, 3),
+                    }
+                )
             break
         survivors = sup.where(F.col("support") >= thresh)
         lost = _triangles_incident(cur, drops)
@@ -225,4 +242,12 @@ def k_truss(edges: DataFrame, k: int = 4, rounds: int = 6) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         cur = sup.select("src", "dst")
+        if _round_stats is not None:
+            _round_stats.append(
+                {
+                    "round": _round,
+                    "dropped": n_drop,
+                    "sec": round(_time.time() - _t0, 3),
+                }
+            )
     return cur

@@ -228,6 +228,105 @@ def _emit_buckets(k: np.ndarray, v: np.ndarray, width: int, n_part: int):
         )
 
 
+def _chunk_rows_weighted(k, v, w):
+    """Slice three parallel arrays into CHUNK_EDGES-sized blob rows."""
+    kbs, vbs, wbs = [], [], []
+    for lo in range(0, len(k), CHUNK_EDGES):
+        sl = slice(lo, lo + CHUNK_EDGES)
+        kbs.append(k[sl].tobytes())
+        vbs.append(v[sl].tobytes())
+        wbs.append(w[sl].tobytes())
+    return kbs, vbs, wbs
+
+
+def _emit_buckets_weighted(k, v, w, width: int, n_part: int):
+    """Weighted twin of _emit_buckets: stable-sort by key (weights
+    ride along), cut into range buckets, emit (pid, kb, vb, wb)."""
+    order = np.argsort(k, kind="stable")
+    k, v, w = k[order], v[order], w[order]
+    cuts = np.searchsorted(k, np.arange(1, n_part) * width)
+    pids_all, kbs_all, vbs_all, wbs_all = [], [], [], []
+    for pid, (lo, hi) in enumerate(
+        zip(np.concatenate(([0], cuts)), np.concatenate((cuts, [len(k)])))
+    ):
+        if hi > lo:
+            kbs, vbs, wbs = _chunk_rows_weighted(k[lo:hi], v[lo:hi], w[lo:hi])
+            pids_all.extend([pid] * len(kbs))
+            kbs_all.extend(kbs)
+            vbs_all.extend(vbs)
+            wbs_all.extend(wbs)
+    for lo in range(0, len(kbs_all), BLOB_BATCH_ROWS):
+        sl = slice(lo, lo + BLOB_BATCH_ROWS)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(pids_all[sl], type=pa.int32()),
+                pa.array(kbs_all[sl], type=pa.binary()),
+                pa.array(vbs_all[sl], type=pa.binary()),
+                pa.array(wbs_all[sl], type=pa.binary()),
+            ],
+            ["pid", "kb", "vb", "wb"],
+        )
+
+
+def _encode_bucket_weighted_fn(uniq_bc, n_part: int):
+    """Weighted symmetric build pass: dictionary-encode the canonical
+    (src, dst, weight) rows and emit BOTH directions from the one raw
+    pass (k=src,v=dst,w and k=dst,v=src,w), range-bucketed — the raw
+    Arrow bridge and the encode are paid once for the whole symmetric
+    weighted adjacency."""
+
+    def fn(batches):
+        uniq = uniq_bc.value
+        n = len(uniq)
+        width = -(-n // n_part) or 1
+        ks, vs, ws = [], [], []
+        for batch in batches:
+            src = np.searchsorted(uniq, _col_np(batch, 0)).astype(np.int32)
+            dst = np.searchsorted(uniq, _col_np(batch, 1)).astype(np.int32)
+            wgt = _col_np(batch, 2).astype(np.int64)
+            ks.append(np.concatenate((src, dst)))
+            vs.append(np.concatenate((dst, src)))
+            ws.append(np.concatenate((wgt, wgt)))
+        if not ks:
+            return
+        k = np.concatenate(ks) if len(ks) > 1 else ks[0]
+        v = np.concatenate(vs) if len(vs) > 1 else vs[0]
+        w = np.concatenate(ws) if len(ws) > 1 else ws[0]
+        yield from _emit_buckets_weighted(k, v, w, width, n_part)
+
+    return fn
+
+
+def _merge_sort_weighted_fn(batches):
+    """Weighted build pass B: concatenate the bucket's blob runs and
+    stable-sort by key once (weights ride along)."""
+    ks, vs, ws = [], [], []
+    for batch in batches:
+        ks.append(_concat_blobs(batch, 1, np.int32))
+        vs.append(_concat_blobs(batch, 2, np.int32))
+        ws.append(_concat_blobs(batch, 3, np.int64))
+    if not ks:
+        return
+    k = np.concatenate(ks) if len(ks) > 1 else ks[0]
+    v = np.concatenate(vs) if len(vs) > 1 else vs[0]
+    w = np.concatenate(ws) if len(ws) > 1 else ws[0]
+    if len(k) == 0:
+        return
+    order = np.argsort(k, kind="stable")
+    k, v, w = k[order], v[order], w[order]
+    kbs, vbs, wbs = _chunk_rows_weighted(k, v, w)
+    for lo in range(0, len(kbs), BLOB_BATCH_ROWS):
+        sl = slice(lo, lo + BLOB_BATCH_ROWS)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(kbs[sl], type=pa.binary()),
+                pa.array(vbs[sl], type=pa.binary()),
+                pa.array(wbs[sl], type=pa.binary()),
+            ],
+            ["kb", "vb", "wb"],
+        )
+
+
 def _rebucket_fn(n: int, n_part: int, swap: bool):
     """Re-bucket ALREADY-BUILT blobs of one direction, optionally
     swapping so the neighbor column becomes the key. The raw-edge Arrow
@@ -354,6 +453,7 @@ class GatherGraph:
     _in_adj: DataFrame | None = field(default=None, repr=False)
     _out_adj: DataFrame | None = field(default=None, repr=False)
     _sym_adj: DataFrame | None = field(default=None, repr=False)
+    _sym_w_adj: DataFrame | None = field(default=None, repr=False)
     _deg: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
@@ -457,6 +557,41 @@ class GatherGraph:
                 self._sym_adj = merged.localCheckpoint(eager=True)
         return self._sym_adj
 
+    def sym_weighted_adjacency(self, n_part: int) -> DataFrame:
+        """Both directions of the WEIGHTED edge table as one sorted
+        blob table of (kb int32, vb int32, wb int64) — each key's
+        weighted neighbor run contiguous in exactly one partition.
+        Requires a ``weight`` column (pass the canonical merged edge
+        table, e.g. sources.edges.canonicalize_edges output). Serves
+        min-plus kernels (SSSP relaxation) — the min reduction is
+        associative, so runs split across batches/partitions merge
+        driver-side and no tail carry is needed."""
+        if self._sym_w_adj is None:
+            if "weight" not in self.edges.columns:
+                raise ValueError(
+                    "sym_weighted_adjacency needs a weight column"
+                )
+            spark = self.edges.sparkSession
+            uniq_bc = spark.sparkContext.broadcast(self.uniq)
+            try:
+                bucketed = (
+                    self.edges.select("src", "dst", "weight")
+                    .mapInArrow(
+                        _encode_bucket_weighted_fn(uniq_bc, n_part),
+                        "pid int, kb binary, vb binary, wb binary",
+                    )
+                    .repartition(n_part, "pid")
+                    .mapInArrow(
+                        _merge_sort_weighted_fn,
+                        "kb binary, vb binary, wb binary",
+                    )
+                )
+                with arrow_batch(spark, RAW_BATCH_ROWS):
+                    self._sym_w_adj = bucketed.localCheckpoint(eager=True)
+            finally:
+                uniq_bc.destroy()
+        return self._sym_w_adj
+
     def sym_adjacency(self, n_part: int) -> DataFrame:
         """Both directions as one DataFrame: a narrow union of the two
         sorted blob tables (partitions stay intact, so per-partition
@@ -487,6 +622,7 @@ class GatherGraph:
         """Drop references; localCheckpoint blocks are freed by the
         ContextCleaner after the next periodic GC."""
         self._in_adj = self._out_adj = self._sym_adj = None
+        self._sym_w_adj = None
         self._deg = None
 
 
@@ -639,6 +775,61 @@ def gather_hindex(adj: DataFrame, w: np.ndarray, n: int) -> np.ndarray:
     for kb, rb in zip(pdf["kb"], pdf["rb"]):
         k = np.frombuffer(kb, dtype=np.int32)
         out[k] = np.minimum(out[k], np.frombuffer(rb, dtype=np.int64))
+    return out
+
+
+_SSSP_INF = 1 << 62
+
+
+def _min_plus_fn(w_bc):
+    """mapInArrow fn: per-key min over (nbr, weight) of
+    ``d[nbr] + weight`` over weighted sym blobs — one Bellman-Ford
+    relaxation. min is associative, so per-batch partials merge
+    driver-side; unreached neighbors carry the _SSSP_INF sentinel and
+    are masked out (sentinel + weight stays far below int64 overflow
+    for any real weight)."""
+
+    def fn(batches):
+        d = w_bc.value
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            if len(keys) == 0:
+                continue
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            wgts = _concat_blobs(batch, 2, np.int64)
+            cand = d[nbrs]
+            reached = cand < _SSSP_INF
+            cand = np.where(reached, cand + wgts, _SSSP_INF)
+            starts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+            out = np.minimum.reduceat(cand, starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([keys[starts].tobytes()], type=pa.binary()),
+                    pa.array([out.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+    return fn
+
+
+def gather_min_plus(adj: DataFrame, d: np.ndarray, n: int) -> np.ndarray:
+    """One shuffle-free SSSP relaxation over
+    ``GatherGraph.sym_weighted_adjacency`` blobs:
+    ``min(d[k], min over (u, w) in N(k) of d[u] + w)`` — int64[n] with
+    the _SSSP_INF sentinel for unreached vertices."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(d)
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(_min_plus_fn(w_bc), "kb binary, rb binary").toPandas()
+    finally:
+        w_bc.destroy()
+    out = d.copy()
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        k = np.frombuffer(kb, dtype=np.int32)
+        np.minimum.at(out, k, np.frombuffer(rb, dtype=np.int64))
     return out
 
 

@@ -289,3 +289,38 @@ def test_kcore_gather_hub_chunk_split(spark, monkeypatch):
         (r["id"], r["core"]) for r in s_res.collect()
     }
     assert g_stats.iterations == s_stats.iterations
+
+
+def test_sssp_gather_matches_shuffle_exactly(graph):
+    """Gather-tier SSSP over the weighted sym blobs: identical
+    distances (exact int64) and identical changed-count trajectory as
+    the frontier shuffle kernel, including the weighted canonical
+    merge (parallel edge 3-4 sums to weight 2)."""
+    from distributed_graph_analytics_spark.operators.sssp import sssp
+
+    weighted = graph.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+    for source in (1, 10, 6):
+        g_res, g_stats = sssp(weighted, source, strategy="gather")
+        s_res, s_stats = sssp(weighted, source, strategy="shuffle")
+        got = {(r["id"], r["dist"]) for r in g_res.collect()}
+        want = {(r["id"], r["dist"]) for r in s_res.collect()}
+        assert got == want, source
+        assert g_stats.iterations == s_stats.iterations
+        assert [h["changed"] for h in g_stats.history] == [
+            h["changed"] for h in s_stats.history
+        ]
+
+
+def test_sssp_gather_absent_source(spark):
+    """A source with only self-loops disappears from the canonical
+    graph: both tiers return exactly [(source, 0)]."""
+    from distributed_graph_analytics_spark.operators.sssp import sssp
+
+    df = spark.createDataFrame(
+        [(7, 7, 1), (1, 2, 3)], "src long, dst long, weight long"
+    )
+    for strat in ("gather", "shuffle"):
+        rows = {(r["id"], r["dist"]) for r in sssp(df, 7, strategy=strat)[0].collect()}
+        assert rows == {(7, 0)}, strat

@@ -24,7 +24,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OPS = ("link_prediction", "sessionize_capped", "node2vec_walks", "closeness")
+OPS = (
+    "link_prediction",
+    "sessionize_capped",
+    "node2vec_walks",
+    "closeness",
+    "ktruss",
+    "hits",
+    "tfidf_top_terms",
+    "neighbor_sample",
+)
 
 
 def _worker(op: str, cpus: int) -> None:
@@ -100,6 +109,63 @@ def _worker(op: str, cpus: int) -> None:
         n_in = edges.count()
         t0 = time.time()
         n_out = closeness_centrality(edges, num_pivots=8).count()
+        sec = time.time() - t0
+    elif op == "ktruss":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.truss import k_truss
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        # driver-query configuration (k=8, 6 peels); round 1's full
+        # degree-ordered wedge enumeration dominates, later rounds are
+        # incremental (cost tracks the dropped-edge set)
+        n_out = k_truss(edges, k=8, rounds=6).count()
+        sec = time.time() - t0
+    elif op == "hits":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.hits import hits
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        n_out = hits(edges, iterations=10).count()
+        sec = time.time() - t0
+    elif op == "tfidf_top_terms":
+        from distributed_graph_analytics_spark.functions.text import (
+            tfidf_top_terms,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # replicated x8 with disjoint doc ids — deterministic scale-up
+        rep = F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(7).cast("long"))
+        ).alias("rep")
+        docs = docs.select("doc_id", "text", rep).select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            "text",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = docs.count()
+        t0 = time.time()
+        n_out = tfidf_top_terms(docs, k=5).count()
+        sec = time.time() - t0
+    elif op == "neighbor_sample":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.sampling import (
+            neighbor_sample,
+        )
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        seeds = (
+            edges.select(F.col("src").alias("id")).distinct().limit(2000)
+        )
+        t0 = time.time()
+        n_out = neighbor_sample(
+            edges, seeds, fanouts=[8, 4], seed=42
+        ).count()
         sec = time.time() - t0
     else:
         raise ValueError(op)

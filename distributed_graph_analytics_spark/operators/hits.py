@@ -31,14 +31,38 @@ from distributed_graph_analytics_spark.sources.edges import (
 )
 
 
-def hits(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def hits(
+    edges: DataFrame, iterations: int = 10, strategy: str = "auto"
+) -> DataFrame:
     """Returns (id LONG, hub DOUBLE, authority DOUBLE) after exactly
-    ``iterations`` authority→hub rounds with L1 normalization."""
-    e = (
-        merge_parallel_edges(edges.where(F.col("src") != F.col("dst")))
-        .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ``iterations`` authority→hub rounds with L1 normalization.
+
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    SPARK_GRAFT_GATHER_MAX_V (plans/gather.py — each half-round is one
+    shuffle-free vectorized sum over the directed blob adjacency; the
+    parallel-merged edge table is built first, so the blobs carry
+    unique directed pairs and no dedupe is needed), else the join-agg
+    kernel below; "gather"/"shuffle" force a tier. Values agree to
+    float summation order (≤1e-13 relative — the tier-parity pin),
+    absorbed by the driver oracle's 9-decimal rounding like every
+    float kernel here."""
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown hits strategy {strategy!r}")
+    merged = merge_parallel_edges(
+        edges.where(F.col("src") != F.col("dst"))
+    ).select("src", "dst")
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            gather_tier_applies,
+            max_gather_vertices,
+        )
+
+        if strategy == "gather" or gather_tier_applies(merged):
+            g = GatherGraph.build(merged)
+            if strategy == "gather" or g.n <= max_gather_vertices():
+                return _hits_gather(g, iterations)
+    e = merged.persist(StorageLevel.MEMORY_AND_DISK)
     verts = vertices_of(e).persist(StorageLevel.MEMORY_AND_DISK)
     h = verts.select("id", F.lit(1.0).alias("hub"))
     a = None
@@ -131,3 +155,41 @@ def weighted_pagerank(
     e.unpersist()
     verts.unpersist()
     return ranks
+
+
+def _hits_gather(g, iterations: int) -> DataFrame:
+    """Gather-tier HITS: per round, authority = one gather_sum of the
+    hub vector over the in-adjacency blobs, hub = one gather_sum of
+    the normalized authority over the out-adjacency blobs; L1
+    normalizers are driver-side numpy sums over the O(|V|) vectors.
+    20 shuffle-free stages total for the fixed 10 rounds."""
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        gather_sum,
+        vector_to_df,
+    )
+
+    spark = g.edges.sparkSession
+    n = g.n
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return (
+            vector_to_df(spark, empty, empty.astype(np.float64), "hub", "double")
+            .withColumn("authority", F.col("hub"))
+        )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    in_adj = g.in_adjacency(n_part)
+    out_adj = g.out_adjacency(n_part)
+    hub = np.ones(n, dtype=np.float64)
+    authority = np.zeros(n, dtype=np.float64)
+    for _ in range(iterations):
+        a_raw = gather_sum(in_adj, hub, n)
+        authority = a_raw / a_raw.sum()
+        h_raw = gather_sum(out_adj, authority, n)
+        hub = h_raw / h_raw.sum()
+    out = vector_to_df(spark, g.orig_id, hub, "hub", "double")
+    auth_df = vector_to_df(spark, g.orig_id, authority, "authority", "double")
+    res = out.join(auth_df, "id").select("id", "hub", "authority")
+    g.release()
+    return res

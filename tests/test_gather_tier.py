@@ -324,3 +324,18 @@ def test_sssp_gather_absent_source(spark):
     for strat in ("gather", "shuffle"):
         rows = {(r["id"], r["dist"]) for r in sssp(df, 7, strategy=strat)[0].collect()}
         assert rows == {(7, 0)}, strat
+
+
+def test_hits_gather_matches_shuffle(graph):
+    """Gather-tier HITS: same scores to float summation order (the
+    tier-parity tolerance), same vertex set."""
+    from distributed_graph_analytics_spark.operators.hits import hits
+
+    g_rows = {r["id"]: (r["hub"], r["authority"])
+              for r in hits(graph, strategy="gather").collect()}
+    s_rows = {r["id"]: (r["hub"], r["authority"])
+              for r in hits(graph, strategy="shuffle").collect()}
+    assert set(g_rows) == set(s_rows)
+    for vid in s_rows:
+        for a, b in zip(g_rows[vid], s_rows[vid]):
+            assert abs(a - b) <= 1e-12 * max(1.0, abs(b)), (vid, a, b)

@@ -185,9 +185,15 @@ def _worker(op: str, cpus: int) -> None:
 
 def run_leg(op: str, cpus: int) -> dict:
     pin = os.environ.get("SPARK_GRAFT_PIN", "0") == "1"
+    # SPARK_GRAFT_PIN_BASE offsets the pinned core range so op probes
+    # can run beside another pinned experiment (e.g. the headline
+    # campaign on cores 0-3) without sharing cores; DRAM stays shared
+    # (both probe legs interleave in the same regime, so the ratio is
+    # still like-for-like)
+    base = int(os.environ.get("SPARK_GRAFT_PIN_BASE", "0"))
     cmd = [sys.executable, os.path.abspath(__file__), "--worker", op, str(cpus)]
     if pin:
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        cmd = ["taskset", "-c", f"{base}-{base + cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     if out.returncode != 0:
         raise RuntimeError(f"worker failed ({op}, {cpus}):\n{out.stderr[-2000:]}")

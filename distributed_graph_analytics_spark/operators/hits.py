@@ -104,7 +104,10 @@ def hits(
 
 
 def weighted_pagerank(
-    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Edge-weighted PageRank: each vertex splits its rank over its
     out-edges PROPORTIONALLY TO EDGE WEIGHT (contribution
@@ -121,12 +124,29 @@ def weighted_pagerank(
     SSSP's (nb, w) struct arrays — this unpacked variant is the
     reference implementation the pack would be parity-tested against.
 
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    the tier cap (one shuffle-free weighted-message pass per round
+    over the directed in-keyed weighted blobs, same per-term
+    arithmetic (rank·w)/sw as the join kernel), else the join-agg
+    kernel below; "gather"/"shuffle" force a tier.
+
     Returns (id LONG, rank DOUBLE).
     """
-    e = (
-        merge_parallel_edges(edges.where(F.col("src") != F.col("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown weighted_pagerank strategy {strategy!r}")
+    merged = merge_parallel_edges(edges.where(F.col("src") != F.col("dst")))
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            gather_tier_applies,
+            max_gather_vertices,
+        )
+
+        if strategy == "gather" or gather_tier_applies(merged):
+            g = GatherGraph.build(merged)
+            if strategy == "gather" or g.n <= max_gather_vertices():
+                return _weighted_pagerank_gather(g, iterations, damping)
+    e = merged.persist(StorageLevel.MEMORY_AND_DISK)
     verts = vertices_of(e).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     sw = e.groupBy("src").agg(F.sum("weight").alias("sw"))
@@ -193,3 +213,37 @@ def _hits_gather(g, iterations: int) -> DataFrame:
     res = out.join(auth_df, "id").select("id", "hub", "authority")
     g.release()
     return res
+
+
+def _weighted_pagerank_gather(g, iterations: int, damping: float) -> DataFrame:
+    """Gather-tier weighted PageRank: sw (out-weight sums) from one
+    pass over the in-keyed weighted blobs, then one
+    ``gather_weighted_rank_msgs`` stage per round — the weighted twin
+    of the unweighted gather PR, sharing its (1−d)/n base semantics
+    (no dangling redistribution, fixed iterations)."""
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        gather_in_weight_sums,
+        gather_weighted_rank_msgs,
+        vector_to_df,
+    )
+
+    spark = g.edges.sparkSession
+    n = g.n
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return vector_to_df(
+            spark, empty, empty.astype(np.float64), "rank", "double"
+        )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = g.in_weighted_adjacency(n_part)
+    sw = gather_in_weight_sums(adj, n)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        msg = gather_weighted_rank_msgs(adj, rank, sw, n)
+        rank = base + damping * msg
+    out = vector_to_df(spark, g.orig_id, rank, "rank", "double")
+    g.release()
+    return out

@@ -268,12 +268,14 @@ def _emit_buckets_weighted(k, v, w, width: int, n_part: int):
         )
 
 
-def _encode_bucket_weighted_fn(uniq_bc, n_part: int):
-    """Weighted symmetric build pass: dictionary-encode the canonical
-    (src, dst, weight) rows and emit BOTH directions from the one raw
-    pass (k=src,v=dst,w and k=dst,v=src,w), range-bucketed — the raw
-    Arrow bridge and the encode are paid once for the whole symmetric
-    weighted adjacency."""
+def _encode_bucket_weighted_fn(uniq_bc, n_part: int, symmetric: bool = True):
+    """Weighted build pass: dictionary-encode the canonical
+    (src, dst, weight) rows and emit range-bucketed weighted blobs —
+    BOTH directions from the one raw pass when ``symmetric``
+    (k=src,v=dst,w and k=dst,v=src,w — SSSP's undirected relaxation),
+    else the directed in-keyed single direction (k=dst,v=src,w —
+    weighted PageRank's message gather). The raw Arrow bridge and the
+    encode are paid once either way."""
 
     def fn(batches):
         uniq = uniq_bc.value
@@ -284,9 +286,14 @@ def _encode_bucket_weighted_fn(uniq_bc, n_part: int):
             src = np.searchsorted(uniq, _col_np(batch, 0)).astype(np.int32)
             dst = np.searchsorted(uniq, _col_np(batch, 1)).astype(np.int32)
             wgt = _col_np(batch, 2).astype(np.int64)
-            ks.append(np.concatenate((src, dst)))
-            vs.append(np.concatenate((dst, src)))
-            ws.append(np.concatenate((wgt, wgt)))
+            if symmetric:
+                ks.append(np.concatenate((src, dst)))
+                vs.append(np.concatenate((dst, src)))
+                ws.append(np.concatenate((wgt, wgt)))
+            else:
+                ks.append(dst)
+                vs.append(src)
+                ws.append(wgt)
         if not ks:
             return
         k = np.concatenate(ks) if len(ks) > 1 else ks[0]
@@ -454,6 +461,7 @@ class GatherGraph:
     _out_adj: DataFrame | None = field(default=None, repr=False)
     _sym_adj: DataFrame | None = field(default=None, repr=False)
     _sym_w_adj: DataFrame | None = field(default=None, repr=False)
+    _in_w_adj: DataFrame | None = field(default=None, repr=False)
     _deg: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
@@ -592,6 +600,38 @@ class GatherGraph:
                 uniq_bc.destroy()
         return self._sym_w_adj
 
+    def in_weighted_adjacency(self, n_part: int) -> DataFrame:
+        """Directed in-keyed weighted blobs (kb=dst int32, vb=src
+        int32, wb int64) — weighted PageRank's message gather side.
+        Requires a ``weight`` column on the edge table."""
+        if self._in_w_adj is None:
+            if "weight" not in self.edges.columns:
+                raise ValueError(
+                    "in_weighted_adjacency needs a weight column"
+                )
+            spark = self.edges.sparkSession
+            uniq_bc = spark.sparkContext.broadcast(self.uniq)
+            try:
+                bucketed = (
+                    self.edges.select("src", "dst", "weight")
+                    .mapInArrow(
+                        _encode_bucket_weighted_fn(
+                            uniq_bc, n_part, symmetric=False
+                        ),
+                        "pid int, kb binary, vb binary, wb binary",
+                    )
+                    .repartition(n_part, "pid")
+                    .mapInArrow(
+                        _merge_sort_weighted_fn,
+                        "kb binary, vb binary, wb binary",
+                    )
+                )
+                with arrow_batch(spark, RAW_BATCH_ROWS):
+                    self._in_w_adj = bucketed.localCheckpoint(eager=True)
+            finally:
+                uniq_bc.destroy()
+        return self._in_w_adj
+
     def sym_adjacency(self, n_part: int) -> DataFrame:
         """Both directions as one DataFrame: a narrow union of the two
         sorted blob tables (partitions stay intact, so per-partition
@@ -622,7 +662,7 @@ class GatherGraph:
         """Drop references; localCheckpoint blocks are freed by the
         ContextCleaner after the next periodic GC."""
         self._in_adj = self._out_adj = self._sym_adj = None
-        self._sym_w_adj = None
+        self._sym_w_adj = self._in_w_adj = None
         self._deg = None
 
 
@@ -830,6 +870,162 @@ def gather_min_plus(adj: DataFrame, d: np.ndarray, n: int) -> np.ndarray:
     for kb, rb in zip(pdf["kb"], pdf["rb"]):
         k = np.frombuffer(kb, dtype=np.int32)
         np.minimum.at(out, k, np.frombuffer(rb, dtype=np.int64))
+    return out
+
+
+def _weighted_sum_fn(w_bc):
+    """mapInArrow fn: per-key Σ q[src]·w over weighted directed blobs
+    (q broadcast float64). Sum is associative — per-batch partials
+    merge driver-side with np.add, no carry."""
+
+    def fn(batches):
+        q = w_bc.value
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            if len(keys) == 0:
+                continue
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            wgts = _concat_blobs(batch, 2, np.int64)
+            contrib = q[nbrs] * wgts
+            starts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+            out = np.add.reduceat(contrib, starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([keys[starts].tobytes()], type=pa.binary()),
+                    pa.array([out.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+    return fn
+
+
+def gather_weighted_sum(adj: DataFrame, q: np.ndarray, n: int) -> np.ndarray:
+    """One shuffle-free weighted-message superstep over
+    ``GatherGraph.in_weighted_adjacency`` blobs: per key k,
+    ``Σ over (u, w) in N_in(k) of q[u]·w`` — float64[n], zeros for
+    keys with no in-edges."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(q)
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(
+                _weighted_sum_fn(w_bc), "kb binary, rb binary"
+            ).toPandas()
+    finally:
+        w_bc.destroy()
+    out = np.zeros(n, dtype=np.float64)
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        np.add.at(
+            out,
+            np.frombuffer(kb, dtype=np.int32),
+            np.frombuffer(rb, dtype=np.float64),
+        )
+    return out
+
+
+def _in_weight_sums_fn(n: int):
+    """Σ weight per SRC over the in-keyed weighted blobs (vb = src,
+    wb = weight): per-partition int64 partials, exact."""
+
+    def fn(batches):
+        acc = np.zeros(n, dtype=np.int64)
+        got = False
+        for batch in batches:
+            got = True
+            np.add.at(
+                acc,
+                _concat_blobs(batch, 1, np.int32),
+                _concat_blobs(batch, 2, np.int64),
+            )
+        if got:
+            nz = np.flatnonzero(acc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([nz.astype(np.int32).tobytes()], type=pa.binary()),
+                    pa.array([acc[nz].tobytes()], type=pa.binary()),
+                ],
+                ["kb", "cb"],
+            )
+
+    return fn
+
+
+def gather_in_weight_sums(adj: DataFrame, n: int) -> np.ndarray:
+    """int64[n] out-weight sums (Σ w over out-edges per vertex) from
+    one pass over the in-keyed weighted blobs — weighted PageRank's
+    rank-splitting denominator, computed like ``out_degree``."""
+    spark = adj.sparkSession
+    with arrow_batch(spark, BLOB_BATCH_ROWS):
+        pdf = adj.mapInArrow(_in_weight_sums_fn(n), "kb binary, cb binary").toPandas()
+    sw = np.zeros(n, dtype=np.int64)
+    for kb, cb in zip(pdf["kb"], pdf["cb"]):
+        np.add.at(
+            sw,
+            np.frombuffer(kb, dtype=np.int32),
+            np.frombuffer(cb, dtype=np.int64),
+        )
+    return sw
+
+
+def _weighted_rank_msg_fn(w_bc):
+    """mapInArrow fn: per-key Σ rank[src]·w / sw[src] over the
+    in-keyed weighted blobs — the weighted-PageRank message sum, with
+    the same per-term arithmetic order as the shuffle kernel
+    ((rank·w)/sw). Broadcast carries the stacked (rank, sw) float64
+    pair."""
+
+    def fn(batches):
+        rank, sw = w_bc.value
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            if len(keys) == 0:
+                continue
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            wgts = _concat_blobs(batch, 2, np.int64)
+            contrib = rank[nbrs] * wgts / sw[nbrs]
+            starts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+            out = np.add.reduceat(contrib, starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([keys[starts].tobytes()], type=pa.binary()),
+                    pa.array([out.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+    return fn
+
+
+def gather_weighted_rank_msgs(
+    adj: DataFrame, rank: np.ndarray, sw: np.ndarray, n: int
+) -> np.ndarray:
+    """One shuffle-free weighted-PageRank superstep over
+    ``GatherGraph.in_weighted_adjacency``: per key k,
+    ``Σ over in-edges (u, w) of rank[u]·w / sw[u]`` — float64[n],
+    zeros for keys with no in-edges. ``sw`` entries are never read for
+    vertices without out-edges (they appear in no blob's src column),
+    so zeros there are safe."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(
+        (rank, sw.astype(np.float64))
+    )
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(
+                _weighted_rank_msg_fn(w_bc), "kb binary, rb binary"
+            ).toPandas()
+    finally:
+        w_bc.destroy()
+    out = np.zeros(n, dtype=np.float64)
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        np.add.at(
+            out,
+            np.frombuffer(kb, dtype=np.int32),
+            np.frombuffer(rb, dtype=np.float64),
+        )
     return out
 
 

@@ -339,3 +339,22 @@ def test_hits_gather_matches_shuffle(graph):
     for vid in s_rows:
         for a, b in zip(g_rows[vid], s_rows[vid]):
             assert abs(a - b) <= 1e-12 * max(1.0, abs(b)), (vid, a, b)
+
+
+def test_weighted_pagerank_gather_matches_shuffle(graph):
+    """Gather-tier weighted PageRank: same per-term arithmetic, scores
+    agree to float summation order."""
+    from distributed_graph_analytics_spark.operators.hits import (
+        weighted_pagerank,
+    )
+
+    weighted = graph.select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+    g_rows = {r["id"]: r["rank"]
+              for r in weighted_pagerank(weighted, strategy="gather").collect()}
+    s_rows = {r["id"]: r["rank"]
+              for r in weighted_pagerank(weighted, strategy="shuffle").collect()}
+    assert set(g_rows) == set(s_rows)
+    for vid, want in s_rows.items():
+        assert abs(g_rows[vid] - want) <= 1e-12 * max(1.0, abs(want)), vid

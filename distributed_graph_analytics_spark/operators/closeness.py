@@ -48,11 +48,23 @@ def closeness_centrality(
     hash_family: str = "xxhash64",
     max_rounds: int = 64,
     num_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Returns (id LONG, reached BIGINT, sum_dist BIGINT,
     harmonic DOUBLE) for every vertex, aggregating BFS distances from
     ``num_pivots`` hash-sampled pivot vertices (unreached vertices get
-    reached=0, sum_dist=0, harmonic=0.0)."""
+    reached=0, sum_dist=0, harmonic=0.0).
+
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    the tier cap (plans/gather.py ``gather_min_rows``: the K pivot
+    distance vectors ride ONE shuffle-free vectorized pass per BFS
+    round as a (K, n) broadcast matrix — integer distances, identical
+    results; pivot selection stays the Spark-side distributed
+    sort-limit so the sha2/xxhash64 pivot set is bit-identical), else
+    the frontier shuffle kernel below; "gather"/"shuffle" force a
+    tier."""
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown closeness strategy {strategy!r}")
     spark = edges.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -60,6 +72,24 @@ def closeness_centrality(
     if "weight" not in edges.columns:
         edges = edges.withColumn("weight", F.lit(1).cast("long"))
     canon = canonicalize_edges(edges).select("src", "dst")
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            gather_tier_applies,
+            max_gather_vertices,
+        )
+
+        if strategy == "gather" or gather_tier_applies(canon):
+            g = GatherGraph.build(canon)
+            if strategy == "gather" or g.n <= max_gather_vertices():
+                return _closeness_gather(
+                    g,
+                    num_pivots=num_pivots,
+                    seed=seed,
+                    hash_family=hash_family,
+                    max_rounds=max_rounds,
+                    n_part=n_part,
+                )
     sym = canon.select(F.col("src").alias("v"), F.col("dst").alias("nb")).union(
         canon.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
     )
@@ -124,3 +154,77 @@ def closeness_centrality(
             F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
         )
     )
+
+
+def _closeness_gather(
+    g,
+    num_pivots: int,
+    seed: int,
+    hash_family: str,
+    max_rounds: int,
+    n_part: int,
+) -> DataFrame:
+    """Gather-tier closeness: the K pivot BFS vectors advance together
+    as a (K, n) int64 matrix — one ``gather_min_rows`` pass per round
+    over the (duplicate-tolerant) sym blob union, min-merged with the
+    +1 hop. All outputs integer-exact; per-vertex aggregates computed
+    driver-side over the K-row columns."""
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        _BFS_INF,
+        gather_min_rows,
+        vector_to_df,
+    )
+
+    spark = g.edges.sparkSession
+    n = g.n
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return (
+            vector_to_df(spark, empty, empty, "reached", "long")
+            .withColumn("sum_dist", F.col("reached"))
+            .withColumn("harmonic", F.col("reached").cast("double"))
+        )
+    # pivot selection: identical Spark-side distributed sort-limit as
+    # the shuffle kernel (the hash family is a JVM function — the
+    # DuckDB oracle replays it, so it must not be reimplemented here)
+    verts_df = g.edges.select(F.col("src").alias("v")).union(
+        g.edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    h = _hash64(F.col("v"), F.lit(seed), family=hash_family)
+    pivots = [
+        r["p"]
+        for r in verts_df.select(F.col("v").alias("p"), h.alias("h"))
+        .orderBy("h", "p")
+        .limit(num_pivots)
+        .select("p")
+        .collect()
+    ]
+    K = len(pivots)
+    sym = g.sym_adjacency(n_part)
+    D = np.full((K, n), _BFS_INF, dtype=np.int64)
+    D[np.arange(K), g.cid_of(np.asarray(pivots, dtype=np.int64))] = 0
+    for _ in range(1, max_rounds + 1):
+        minima = gather_min_rows(sym, D, n)
+        hop = np.where(minima < _BFS_INF, minima + 1, _BFS_INF)
+        new = np.minimum(D, hop)
+        if np.array_equal(new, D):
+            break
+        D = new
+    finite = D < _BFS_INF
+    pos = finite & (D > 0)
+    reached = pos.sum(axis=0).astype(np.int64)
+    sum_dist = np.where(finite, D, 0).sum(axis=0).astype(np.int64)
+    with np.errstate(divide="ignore"):
+        harmonic = np.where(pos, 1.0 / np.where(pos, D, 1), 0.0).sum(axis=0)
+    out = vector_to_df(spark, g.orig_id, reached, "reached", "long")
+    sd = vector_to_df(spark, g.orig_id, sum_dist, "sum_dist", "long")
+    hm = vector_to_df(spark, g.orig_id, harmonic, "harmonic", "double")
+    res = (
+        out.join(sd, "id")
+        .join(hm, "id")
+        .select("id", "reached", "sum_dist", "harmonic")
+    )
+    g.release()
+    return res

@@ -1029,6 +1029,62 @@ def gather_weighted_rank_msgs(
     return out
 
 
+def _min_rows_fn(w_bc):
+    """mapInArrow fn: K-row min gather — broadcast a (K, n) int64
+    distance matrix, compute per key the column-wise min of
+    D[:, nbrs] over each run (``np.minimum.reduceat`` on axis=1).
+    Min is associative: per-batch partials merge driver-side, no
+    carry. The multi-source-BFS workhorse (closeness centrality's K
+    pivot distance vectors ride one pass)."""
+
+    def fn(batches):
+        D = w_bc.value
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            if len(keys) == 0:
+                continue
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            starts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+            out = np.minimum.reduceat(D[:, nbrs], starts, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([keys[starts].tobytes()], type=pa.binary()),
+                    pa.array([out.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+    return fn
+
+
+#: unreached-distance sentinel for multi-source BFS matrices
+_BFS_INF = 1 << 62
+
+
+def gather_min_rows(adj: DataFrame, D: np.ndarray, n: int) -> np.ndarray:
+    """One shuffle-free multi-vector min gather: (K, n) int64 in,
+    (K, n) RAW per-key neighbor minima out (keys with no adjacency
+    rows hold the _BFS_INF sentinel). K-source BFS is then
+    ``D' = min(D, where(minima < _BFS_INF, minima + 1, _BFS_INF))``."""
+    spark = adj.sparkSession
+    K = D.shape[0]
+    w_bc = spark.sparkContext.broadcast(D)
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(
+                _min_rows_fn(w_bc), "kb binary, rb binary"
+            ).toPandas()
+    finally:
+        w_bc.destroy()
+    out = np.full_like(D, _BFS_INF)
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        k = np.frombuffer(kb, dtype=np.int32)
+        r = np.frombuffer(rb, dtype=np.int64).reshape(K, len(k))
+        np.minimum.at(out, (slice(None), k), r)
+    return out
+
+
 def vector_to_df(
     spark, orig_id: np.ndarray, values: np.ndarray, name: str, dtype: str
 ) -> DataFrame:

@@ -358,3 +358,22 @@ def test_weighted_pagerank_gather_matches_shuffle(graph):
     assert set(g_rows) == set(s_rows)
     for vid, want in s_rows.items():
         assert abs(g_rows[vid] - want) <= 1e-12 * max(1.0, abs(want)), vid
+
+
+def test_closeness_gather_matches_shuffle(graph):
+    """Gather-tier closeness: identical integer reached/sum_dist and
+    harmonic to summation order, identical sha2 pivot set."""
+    from distributed_graph_analytics_spark.operators.closeness import (
+        closeness_centrality,
+    )
+
+    def run(strat):
+        return {
+            r["id"]: (r["reached"], r["sum_dist"], round(r["harmonic"], 9))
+            for r in closeness_centrality(
+                graph, num_pivots=3, seed=7, hash_family="sha2",
+                strategy=strat,
+            ).collect()
+        }
+
+    assert run("gather") == run("shuffle")

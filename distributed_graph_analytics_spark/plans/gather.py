@@ -632,6 +632,39 @@ class GatherGraph:
                 uniq_bc.destroy()
         return self._in_w_adj
 
+    def receiver_weighted_adjacency(
+        self, view: DataFrame, n_part: int
+    ) -> DataFrame:
+        """Weighted blobs keyed by the RECEIVER over a caller-supplied
+        (u receiver, v neighbor, w) view (e.g. LPA's merged undirected
+        vote view) — (kb=u int32, vb=v int32, wb int64), each key's
+        run contiguous in one partition, sorted by key. Not cached on
+        the graph (the view is operator-specific)."""
+        spark = self.edges.sparkSession
+        uniq_bc = spark.sparkContext.broadcast(self.uniq)
+        try:
+            bucketed = (
+                view.select(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("w").alias("weight"),
+                )
+                .mapInArrow(
+                    _encode_bucket_weighted_fn(uniq_bc, n_part, symmetric=False),
+                    "pid int, kb binary, vb binary, wb binary",
+                )
+                .repartition(n_part, "pid")
+                .mapInArrow(
+                    _merge_sort_weighted_fn,
+                    "kb binary, vb binary, wb binary",
+                )
+            )
+            with arrow_batch(spark, RAW_BATCH_ROWS):
+                out = bucketed.localCheckpoint(eager=True)
+        finally:
+            uniq_bc.destroy()
+        return out
+
     def sym_adjacency(self, n_part: int) -> DataFrame:
         """Both directions as one DataFrame: a narrow union of the two
         sorted blob tables (partitions stay intact, so per-partition
@@ -1082,6 +1115,94 @@ def gather_min_rows(adj: DataFrame, D: np.ndarray, n: int) -> np.ndarray:
         k = np.frombuffer(kb, dtype=np.int32)
         r = np.frombuffer(rb, dtype=np.int64).reshape(K, len(k))
         np.minimum.at(out, (slice(None), k), r)
+    return out
+
+
+_LPA_NONE = -(1 << 62)
+
+
+def _lpa_votes_fn(w_bc):
+    """mapInArrow fn: per-key weighted label vote argmax over merged
+    receiver-keyed weighted blobs. For each key: sum weights per
+    neighbor label, pick the label with (max votes, then max label) —
+    LPA's deterministic tie-break. Vote sums are not argmax-mergeable
+    across a split run, so batch-tail runs carry into the next batch
+    like the h-index kernel (keys never span partitions)."""
+
+    def fn(batches):
+        L = w_bc.value
+
+        def run_votes(keys, nbrs, wgts):
+            lab = L[nbrs]
+            order = np.lexsort((lab, keys))
+            sk, sl, sw = keys[order], lab[order], wgts[order]
+            gb = np.flatnonzero((sk[1:] != sk[:-1]) | (sl[1:] != sl[:-1])) + 1
+            gstart = np.concatenate((np.zeros(1, dtype=np.int64), gb))
+            votes = np.add.reduceat(sw, gstart)
+            gkey = sk[gstart]
+            glab = sl[gstart]
+            kb = np.flatnonzero(gkey[1:] != gkey[:-1]) + 1
+            kstart = np.concatenate((np.zeros(1, dtype=np.int64), kb))
+            counts = np.diff(np.concatenate((kstart, [len(gkey)])))
+            maxv = np.maximum.reduceat(votes, kstart)
+            cand = np.where(votes == np.repeat(maxv, counts), glab, _LPA_NONE)
+            best = np.maximum.reduceat(cand, kstart)
+            return gkey[kstart].astype(np.int32), best.astype(np.int64)
+
+        def emit(keys, nbrs, wgts):
+            rk, rb = run_votes(keys, nbrs, wgts)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([rk.tobytes()], type=pa.binary()),
+                    pa.array([rb.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+        pend = None
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            if len(keys) == 0:
+                continue
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            wgts = _concat_blobs(batch, 2, np.int64)
+            if pend is not None:
+                keys = np.concatenate((pend[0], keys))
+                nbrs = np.concatenate((pend[1], nbrs))
+                wgts = np.concatenate((pend[2], wgts))
+            cut = np.flatnonzero(keys != keys[-1])
+            cut = int(cut[-1]) + 1 if len(cut) else 0
+            pend = (keys[cut:], nbrs[cut:], wgts[cut:])
+            if cut == 0:
+                continue
+            yield emit(keys[:cut], nbrs[:cut], wgts[:cut])
+        if pend is not None and len(pend[0]):
+            yield emit(*pend)
+
+    return fn
+
+
+def gather_lpa_votes(adj: DataFrame, L: np.ndarray, n: int) -> np.ndarray:
+    """One shuffle-free LPA voting superstep over
+    ``GatherGraph.receiver_weighted_adjacency`` blobs: per key, the
+    (max weighted votes, then max label) winning neighbor label —
+    int64[n], _LPA_NONE sentinel for keys with no adjacency rows
+    (callers keep the old label there). Keys are unique across
+    partials (merged table, one partition per key)."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(L)
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(
+                _lpa_votes_fn(w_bc), "kb binary, rb binary"
+            ).toPandas()
+    finally:
+        w_bc.destroy()
+    out = np.full(n, _LPA_NONE, dtype=np.int64)
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        out[np.frombuffer(kb, dtype=np.int32)] = np.frombuffer(
+            rb, dtype=np.int64
+        )
     return out
 
 

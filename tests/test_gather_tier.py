@@ -377,3 +377,27 @@ def test_closeness_gather_matches_shuffle(graph):
         }
 
     assert run("gather") == run("shuffle")
+
+
+def test_lpa_gather_matches_shuffle_exactly(graph):
+    """Gather-tier LPA: identical labels and changed-count trajectory
+    (integer vote sums, same (votes, label) tie-break) — weighted and
+    unweighted."""
+    from distributed_graph_analytics_spark.operators.lpa import (
+        label_propagation,
+    )
+
+    for weighted in (True, False):
+        g_res, g_stats = label_propagation(
+            graph, strategy="gather", weighted=weighted
+        )
+        s_res, s_stats = label_propagation(
+            graph, strategy="shuffle", weighted=weighted
+        )
+        assert {(r["id"], r["label"]) for r in g_res.collect()} == {
+            (r["id"], r["label"]) for r in s_res.collect()
+        }, weighted
+        assert g_stats.iterations == s_stats.iterations
+        assert [h["changed"] for h in g_stats.history] == [
+            h["changed"] for h in s_stats.history
+        ]

@@ -406,6 +406,7 @@ def personalized_pagerank(
     checkpoint_manager=None,
     checkpoint_every: int = 10,
     num_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, IterationStats]:
     """Personalized PageRank (engine extension — the reference has
     only global PR): teleport mass is restricted to the source set S,
@@ -421,9 +422,34 @@ def personalized_pagerank(
 
     ``sources``: DataFrame with an ``id`` column. Returns
     (ranks(id LONG, rank DOUBLE), stats).
+
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    the tier cap (same kernel as global gather PR with a seed-masked
+    teleport vector; identical per-edge arithmetic rank·inv_deg),
+    else the packed-CSR shuffle kernel below.
     """
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown ppr strategy {strategy!r}")
     spark = edges.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            gather_tier_applies,
+            max_gather_vertices,
+        )
+
+        if strategy == "gather" or gather_tier_applies(edges):
+            g = GatherGraph.build(edges)
+            if strategy == "gather" or g.n <= max_gather_vertices():
+                return _ppr_gather(
+                    g,
+                    sources,
+                    damping=damping,
+                    epsilon=epsilon,
+                    max_iterations=max_iterations,
+                    n_part=n_part,
+                )
     adj = build_out_adjacency(edges, n_part)
     with aqe_off(spark), hash_agg_pack(spark):
         adj = adj.localCheckpoint(eager=True)
@@ -591,3 +617,77 @@ def pagerank_delta_push(
     adj.unpersist()
     stats.wall_seconds = time.time() - t0
     return state.select("id", "rank"), stats
+
+
+def _ppr_gather(
+    g,
+    sources: DataFrame,
+    damping: float,
+    epsilon: float,
+    max_iterations: int,
+    n_part: int,
+) -> tuple[DataFrame, IterationStats]:
+    """Gather-tier personalized PageRank: the global gather PR kernel
+    with the teleport term masked to the seed vector
+    (``(1-d)·s + d·msgs``, s = 1/|S| on S) and the absolute-delta
+    halt. One shuffle-free gather_sum per superstep."""
+    import time
+
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        gather_sum,
+        vector_to_df,
+    )
+
+    t0 = time.time()
+    spark = g.edges.sparkSession
+    stats = IterationStats(kernel="gather")
+    n = g.n
+    if n == 0:
+        stats.converged = True
+        return (
+            vector_to_df(
+                spark, np.empty(0, dtype=np.int64), np.empty(0), "rank", "double"
+            ),
+            stats,
+        )
+    src_ids = np.unique(
+        np.asarray(
+            [r["id"] for r in sources.select("id").distinct().collect()],
+            dtype=np.int64,
+        )
+    )
+    if len(src_ids) == 0:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    # seeds outside the graph's vertex set get no state row in the
+    # shuffle kernel either (vertices come from the edge table); they
+    # still count toward |S| there only if present — mirror by
+    # filtering to known vertices AFTER sizing 1/|S| on the distinct
+    # input set exactly as the shuffle kernel's broadcast join does
+    n_s = len(src_ids)
+    pos = np.searchsorted(g.uniq, src_ids)
+    valid = (pos < n) & (g.uniq[np.minimum(pos, n - 1)] == src_ids)
+    seed = np.zeros(n, dtype=np.float64)
+    seed[pos[valid]] = 1.0 / n_s
+    in_adj = g.in_adjacency(n_part)
+    out_deg = g.out_degree(n_part)
+    inv_deg = np.where(out_deg > 0, 1.0 / np.maximum(out_deg, 1.0), 0.0)
+    rank = seed.copy()
+    for i in range(1, max_iterations + 1):
+        t_iter = time.time()
+        msg = gather_sum(in_adj, rank * inv_deg, n)
+        new_rank = (1.0 - damping) * seed + damping * msg
+        max_delta = float(np.max(np.abs(new_rank - rank)))
+        rank = new_rank
+        stats.iterations = i
+        stats.history.append(
+            {"max_delta": max_delta, "sec": round(time.time() - t_iter, 3)}
+        )
+        if max_delta < epsilon:
+            stats.converged = True
+            break
+    out = vector_to_df(spark, g.orig_id, rank, "rank", "double")
+    g.release()
+    stats.wall_seconds = time.time() - t0
+    return out, stats

@@ -401,3 +401,27 @@ def test_lpa_gather_matches_shuffle_exactly(graph):
         assert [h["changed"] for h in g_stats.history] == [
             h["changed"] for h in s_stats.history
         ]
+
+
+def test_ppr_gather_matches_shuffle(graph):
+    """Gather-tier personalized PageRank: same per-edge arithmetic,
+    seed-masked teleport, abs-delta halt — scores within summation
+    order, identical iteration count."""
+    from distributed_graph_analytics_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    spark = graph.sparkSession
+    seeds = spark.createDataFrame([(1,), (10,)], "id long")
+    g_res, g_stats = personalized_pagerank(
+        graph, seeds, epsilon=0.0, max_iterations=6, strategy="gather"
+    )
+    s_res, s_stats = personalized_pagerank(
+        graph, seeds, epsilon=0.0, max_iterations=6, strategy="shuffle"
+    )
+    g_rows = {r["id"]: r["rank"] for r in g_res.collect()}
+    s_rows = {r["id"]: r["rank"] for r in s_res.collect()}
+    assert set(g_rows) == set(s_rows)
+    assert g_stats.iterations == s_stats.iterations == 6
+    for vid, want in s_rows.items():
+        assert abs(g_rows[vid] - want) <= 1e-12 * max(1.0, abs(want)), vid

@@ -89,3 +89,37 @@ def test_kcore_resumes_mid_convergence(spark, tmp_path):
         edges, checkpoint_manager=mgr, checkpoint_every=1
     )
     assert {(r["id"], r["core"]) for r in resumed.collect()} == want
+
+
+def test_kcore_cross_tier_resume(spark, tmp_path):
+    """A kcore run checkpointed on one tier resumes on the other (both
+    directions): the saved (id, core, changed) state is the shared
+    contract, and the resumed run converges to the full-run coreness."""
+    from distributed_graph_analytics_spark.operators.kcore import core_numbers
+    from distributed_graph_analytics_spark.plans.checkpoint import (
+        CheckpointManager,
+    )
+
+    path = [(i, i + 1) for i in range(100, 140)]
+    clique = [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
+    df = spark.createDataFrame(path + clique, ["src", "dst"])
+    want = {
+        (r["id"], r["core"])
+        for r in core_numbers(df, strategy="shuffle")[0].collect()
+    }
+    for first, second in (("gather", "shuffle"), ("shuffle", "gather")):
+        d = str(tmp_path / f"{first}_{second}")
+        core_numbers(
+            df,
+            strategy=first,
+            checkpoint_manager=CheckpointManager(spark, d),
+            checkpoint_every=3,
+            max_iterations=5,
+        )
+        res, st = core_numbers(
+            df,
+            strategy=second,
+            checkpoint_manager=CheckpointManager(spark, d),
+        )
+        assert {(r["id"], r["core"]) for r in res.collect()} == want
+        assert st.iterations == 21

@@ -41,9 +41,30 @@ import time
 
 
 def leaf_compression(
-    edges: DataFrame, max_iterations: int = 100
+    edges: DataFrame, max_iterations: int = 100, strategy: str = "auto"
 ) -> tuple[DataFrame, DataFrame, IterationStats]:
-    """Returns (surviving_vertices(id), surviving_edges(src,dst,weight), stats)."""
+    """Returns (surviving_vertices(id), surviving_edges(src,dst,weight), stats).
+
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    the tier cap (one shuffle-free pass per prune round: the survival
+    flag vector gathers over the raw out-adjacency blobs — parallel
+    edges count separately, exactly the GraphX out-degree semantics —
+    and ``s' = s & (Σ s[dst] > 1)``; identical per-round survivor
+    counts and fixed point), else the shrinking-relation kernel
+    below; "gather"/"shuffle" force a tier."""
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown leaf_compression strategy {strategy!r}")
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            GatherGraph,
+            gather_tier_applies,
+            max_gather_vertices,
+        )
+
+        if strategy == "gather" or gather_tier_applies(edges):
+            g = GatherGraph.build(edges)
+            if strategy == "gather" or g.n <= max_gather_vertices():
+                return _leaf_compression_gather(g, edges, max_iterations)
     t0 = time.time()
     stats = IterationStats()
     cur_edges = truncate(edges)
@@ -202,3 +223,64 @@ def leaf_compression_giraph(
     )
     stats.wall_seconds = time.time() - t0
     return v, e, stats
+
+
+def _leaf_compression_gather(
+    g, edges: DataFrame, max_iterations: int
+) -> tuple[DataFrame, DataFrame, IterationStats]:
+    """Gather-tier GraphX leaf compression: survival flags s (float64
+    0/1) gather over the raw out-adjacency blobs — per round ONE
+    shuffle-free stage computing ``d(v) = Σ s[dst]`` over v's
+    out-edges (parallel edges separate, like the shuffle kernel's
+    count per src), then ``s' = s & (d > 1)``. The per-round survivor
+    counts equal the shrinking-relation kernel's exactly: an edge
+    survives iff both endpoints do, so counting surviving endpoints
+    over the STATIC edge set equals counting edges of the shrunken
+    relation. Final vertex/edge DataFrames come from one semi-join
+    against the survivor set."""
+    import numpy as np
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        gather_sum,
+        vector_to_df,
+    )
+
+    t0 = time.time()
+    stats = IterationStats(kernel="gather")
+    spark = edges.sparkSession
+    n = g.n
+    if n == 0:
+        stats.converged = True
+        empty_v = vector_to_df(
+            spark, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            "_drop", "long",
+        ).select(F.lit(0).alias("id")).where("id > 0")
+        return empty_v, edges.where(F.lit(False)), stats
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out_adj = g.out_adjacency(n_part)
+    s_flag = np.ones(n, dtype=np.float64)
+    n_surv = n
+    for i in range(1, max_iterations + 1):
+        d = gather_sum(out_adj, s_flag, n)
+        new_flag = np.where((s_flag > 0) & (d > 1), 1.0, 0.0)
+        new_count = int(np.count_nonzero(new_flag))
+        s_flag = new_flag
+        stats.iterations = i
+        stats.history.append({"vertices": new_count})
+        if new_count == n_surv:
+            stats.converged = True
+            break
+        n_surv = new_count
+    keep_ids = g.orig_id[s_flag > 0]
+    verts = vector_to_df(
+        spark, keep_ids, np.zeros(len(keep_ids), dtype=np.int64), "_z", "long"
+    ).select("id")
+    verts = verts.persist()
+    surv_edges = edges.join(
+        verts.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi").select(
+        *edges.columns
+    )
+    g.release()
+    stats.wall_seconds = time.time() - t0
+    return verts, surv_edges, stats

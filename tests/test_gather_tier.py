@@ -425,3 +425,46 @@ def test_ppr_gather_matches_shuffle(graph):
     assert g_stats.iterations == s_stats.iterations == 6
     for vid, want in s_rows.items():
         assert abs(g_rows[vid] - want) <= 1e-12 * max(1.0, abs(want)), vid
+
+
+def test_leaf_compression_gather_matches_shuffle(graph):
+    """Gather-tier leaf compression: identical surviving vertex/edge
+    sets and identical per-round survivor-count trajectory."""
+    from distributed_graph_analytics_spark.operators.leaf_compression import (
+        leaf_compression,
+    )
+
+    g_v, g_e, g_stats = leaf_compression(graph, strategy="gather")
+    s_v, s_e, s_stats = leaf_compression(graph, strategy="shuffle")
+    assert {r["id"] for r in g_v.collect()} == {r["id"] for r in s_v.collect()}
+    assert {(r["src"], r["dst"]) for r in g_e.collect()} == {
+        (r["src"], r["dst"]) for r in s_e.collect()
+    }
+    assert g_stats.iterations == s_stats.iterations
+    assert [h["vertices"] for h in g_stats.history] == [
+        h["vertices"] for h in s_stats.history
+    ]
+
+
+def test_leaf_compression_gather_chain_fixture(spark):
+    """A leaf chain hanging off a clique: pruning cascades one hop per
+    round — both tiers walk the same multi-round trajectory."""
+    from distributed_graph_analytics_spark.operators.leaf_compression import (
+        leaf_compression,
+    )
+    from distributed_graph_analytics_spark.sources.edges import (
+        reverse_duplicate,
+    )
+
+    clique = [(i, j, 1) for i in range(1, 5) for j in range(i + 1, 5)]
+    chain = [(4, 10, 1), (10, 11, 1), (11, 12, 1)]
+    df = reverse_duplicate(
+        spark.createDataFrame(clique + chain, "src long, dst long, weight long")
+    )
+    g_v, _, g_stats = leaf_compression(df, strategy="gather")
+    s_v, _, s_stats = leaf_compression(df, strategy="shuffle")
+    assert {r["id"] for r in g_v.collect()} == {r["id"] for r in s_v.collect()}
+    assert g_stats.iterations == s_stats.iterations > 2
+    assert [h["vertices"] for h in g_stats.history] == [
+        h["vertices"] for h in s_stats.history
+    ]

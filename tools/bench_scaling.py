@@ -245,8 +245,9 @@ def render_results_section(s: dict, sf_dir: str, replicate: int) -> str:
 - job: PageRank (Giraph semantics, eps=0.001, d=0.85) to convergence
   ({d_n["pr_iters"]} iterations) + WCC max-label propagation to fixed
   point ({d_n["wcc_iters"]} iterations); identical code path both runs
-  (`tools/_scaling_worker.py`), `spark.sql.shuffle.partitions` =
-  3 x cores on both legs (tasks-per-core sizing, SPARK_GRAFT_PART_MULT);
+  (`tools/_scaling_worker.py`), `spark.sql.shuffle.partitions` FIXED at
+  {s["parts"]} (= 3 x 4N tasks-per-core sizing) on BOTH legs — one data
+  layout, executors vary (the fixed-layout protocol);
   legs interleaved N,4N,N,4N in fresh JVMs (same noise regime for both
   levels on the shared-tenant host), min of
   {len(d_n.get("all_runs_sec", []))} runs per level

@@ -66,6 +66,17 @@ key space like any key partitioning; a single hub's in-segment lives in
 one partition but is processed as a streaming reduceat, not a hash map,
 and partials split across Arrow batches merge driver-side — no
 single-row array materialization anywhere.
+
+Kernels served (round 4): associative reductions (``gather_sum`` /
+``gather_extreme`` / ``gather_min_plus`` / ``gather_weighted_rank_msgs``
+/ ``gather_min_rows`` — partials merge driver-side with the same
+ufunc, batch splits are free) power PageRank, personalized PageRank,
+WCC, SSSP, HITS, weighted PageRank, leaf compression and closeness;
+NON-mergeable per-key kernels (``gather_hindex`` for k-core,
+``gather_lpa_votes`` for LPA) ride the MERGED single-table adjacencies
+(each key's run contiguous in one partition) with a cross-batch tail
+carry inside the pass. Ten analytics total behind ``strategy="auto"``,
+all parity-pinned by tests/test_gather_tier.py.
 """
 
 from __future__ import annotations

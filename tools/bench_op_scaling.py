@@ -33,6 +33,7 @@ OPS = (
     "hits",
     "tfidf_top_terms",
     "neighbor_sample",
+    "kcore",
 )
 
 
@@ -166,6 +167,19 @@ def _worker(op: str, cpus: int) -> None:
         n_out = neighbor_sample(
             edges, seeds, fanouts=[8, 4], seed=42
         ).count()
+        sec = time.time() - t0
+    elif op == "kcore":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.kcore import (
+            core_numbers,
+        )
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        # auto = gather tier at sf0.1 (round-4 kernel); 38 supersteps
+        res, _ = core_numbers(edges, edges_canonical=True)
+        n_out = res.count()
         sec = time.time() - t0
     else:
         raise ValueError(op)

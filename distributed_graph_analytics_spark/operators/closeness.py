@@ -79,9 +79,16 @@ def closeness_centrality(
             max_gather_vertices,
         )
 
+        # the K-source BFS broadcasts a (K, n) distance matrix — K×
+        # the tier's 8·|V| per-vector budget — so the auto cap scales
+        # by num_pivots (at the 2^25 cap with K=8 an unscaled check
+        # would broadcast ~2 GB per superstep); forced "gather" is the
+        # caller's explicit memory call
         if strategy == "gather" or gather_tier_applies(canon):
             g = GatherGraph.build(canon)
-            if strategy == "gather" or g.n <= max_gather_vertices():
+            if strategy == "gather" or (
+                max(num_pivots, 1) * g.n <= max_gather_vertices()
+            ):
                 return _closeness_gather(
                     g,
                     num_pivots=num_pivots,

@@ -139,10 +139,16 @@ def weighted_pagerank(
         from distributed_graph_analytics_spark.plans.gather import (
             GatherGraph,
             gather_tier_applies,
+            integral_weight,
             max_gather_vertices,
         )
 
-        if strategy == "gather" or gather_tier_applies(merged):
+        # fractional weights route to the shuffle kernel in auto mode:
+        # the weighted blob pack stores int64 and would silently
+        # truncate (forced "gather" raises in the builder instead)
+        if strategy == "gather" or (
+            integral_weight(merged) and gather_tier_applies(merged)
+        ):
             g = GatherGraph.build(merged)
             if strategy == "gather" or g.n <= max_gather_vertices():
                 return _weighted_pagerank_gather(g, iterations, damping)

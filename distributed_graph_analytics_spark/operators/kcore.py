@@ -282,7 +282,16 @@ def _kcore_gather(
             break
     out = vector_to_df(spark, g.orig_id, core, "core", "long")
     if checkpoint_manager is not None and stats.converged:
-        checkpoint_manager.save("kcore", out, stats.iterations, {"converged": True})
+        # keep the cross-tier (id, core, changed) state shape: a
+        # shuffle-tier run resuming from this checkpoint filters on
+        # `changed`, so the converged save must carry the column too
+        # (all False — nothing moved in the final superstep)
+        checkpoint_manager.save(
+            "kcore",
+            out.withColumn("changed", F.lit(False)),
+            stats.iterations,
+            {"converged": True},
+        )
     if owned:
         g.release()
     stats.wall_seconds = time.time() - t0

@@ -181,6 +181,7 @@ def louvain_level(
     min_progress: int = 1,
     progress_counter: int = 1,
     fixed_cycles: int | None = None,
+    strategy: str = "auto",
 ) -> tuple[float, DataFrame, int]:
     """One Louvain level to progress-halt; returns (Q, state, passes).
 
@@ -188,9 +189,18 @@ def louvain_level(
     weights start at 0). ``fixed_cycles`` disables the progress halt
     and runs exactly that many move cycles — the deterministic,
     SQL-unrollable variant used by the driver oracle.
+
+    ``strategy``: "auto" picks the broadcast-gather kernel when |V| ≤
+    the tier cap, weights are integral, and the m-scaled integer ΔQ
+    fits int64 (plans/gather.py ``gather_louvain_votes`` — one
+    shuffle-free vectorized argmax pass per move cycle; exact integer
+    ΔQ and the (dq, community) tie-break make per-cycle communities,
+    changed counts, and the progress halt identical to the join
+    kernel, pinned by tests/test_gather_tier.py), else the join-agg
+    kernel; "gather"/"shuffle" force a tier.
     """
     return _louvain_level_with_internal(
-        edges, None, min_progress, progress_counter, fixed_cycles
+        edges, None, min_progress, progress_counter, fixed_cycles, strategy
     )
 
 
@@ -234,6 +244,7 @@ def louvain(
     max_levels: int = 20,
     checkpoint_manager=None,
     resume: bool = False,
+    strategy: str = "auto",
 ) -> LouvainResult:
     """Full multi-level Louvain (AbstractLouvainRunner.run).
 
@@ -247,6 +258,12 @@ def louvain(
     mapping (HDFSLouvainRunner.saveLevel parity). With ``resume=True`` a
     killed multi-level run restarts from its last completed level
     instead of level 0.
+
+    ``strategy`` dispatches each level's move kernel (see
+    :func:`louvain_level`) — per-level, so a level-0 graph over the
+    gather-tier cap takes the join kernel while its compressed
+    successors (a few thousand community vertices) take the
+    vectorized gather kernel.
     """
     t0 = time.time()
     result = LouvainResult()
@@ -277,7 +294,8 @@ def louvain(
     while level + 1 < max_levels:
         level += 1
         q, state, passes = _louvain_level_with_internal(
-            cur_edges, internal, min_progress, progress_counter
+            cur_edges, internal, min_progress, progress_counter,
+            strategy=strategy,
         )
         assignment = truncate(state.select("id", "community"))
         result.levels.append(LouvainLevel(level=level, q=q, cycles=passes, assignment=assignment))
@@ -374,12 +392,33 @@ def _louvain_level_with_internal(
     min_progress: int,
     progress_counter: int,
     fixed_cycles: int | None = None,
+    strategy: str = "auto",
 ) -> tuple[float, DataFrame, int]:
     """louvain_level, but seeding per-vertex internal weights from the
     previous compression (compressGraph's newVertices carry
     internalWeight; node weight is recomputed from the level's edges).
     Isolated communities (all edges internal) still appear as vertices.
     """
+    if strategy not in ("auto", "gather", "shuffle"):
+        raise ValueError(f"unknown louvain strategy {strategy!r}")
+    if strategy != "shuffle":
+        from distributed_graph_analytics_spark.plans.gather import (
+            gather_tier_applies,
+            integral_weight,
+        )
+
+        # fractional weights can't ride the int64 blob packs (silent
+        # truncation) — auto routes them to the join kernel; forced
+        # "gather" falls through and raises in the weighted builder
+        if strategy == "gather" or (
+            integral_weight(edges) and gather_tier_applies(edges)
+        ):
+            res = _louvain_level_gather(
+                edges, internal, min_progress, progress_counter, fixed_cycles,
+                forced=strategy == "gather",
+            )
+            if res is not None:
+                return res
     merged = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
     node_w = (
         merged.select(F.col("src").alias("id"), "weight")
@@ -462,4 +501,154 @@ def _louvain_level_with_internal(
     )
     q = float(q_df.agg(F.sum("q_i")).first()[0] or 0.0)
     merged.unpersist()
+    return q, state, count // 2
+
+
+def _louvain_level_gather(
+    edges: DataFrame,
+    internal: DataFrame | None,
+    min_progress: int,
+    progress_counter: int,
+    fixed_cycles: int | None,
+    forced: bool = False,
+) -> tuple[float, DataFrame, int] | None:
+    """Gather-tier Louvain level (plans/gather.py): identical move
+    semantics and cycle trajectory as the join kernel — the m-scaled
+    integer ΔQ, the (ΔQ, community) struct-max tie-break, the even/odd
+    move gate, exact integer σ_tot recompute, and the same progress
+    halt, so per-cycle communities and changed counts match the
+    shuffle kernel bit-for-bit (community ids and the gate compare in
+    cid space, a monotone image of the original id space, so every
+    comparison agrees). Each move cycle is ONE shuffle-free vectorized
+    pass (``gather_louvain_votes``) over receiver-keyed weighted blobs
+    of the parallel-merged undirected view; σ_tot and the move
+    application are O(|V|) driver vector ops.
+
+    Returns None to decline (driver falls back to the join kernel)
+    when |V| exceeds the tier cap (unless ``forced``), the graph is
+    degenerate (no vertices / zero total weight), or the m-scaled ΔQ
+    could overflow int64 (max_k·M ≥ 2^62 — the join kernel's
+    decimal(38,0) has headroom this tier lacks; at that weight scale
+    the graph is far past the cap anyway).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        GatherGraph,
+        gather_key_weight_sums,
+        gather_louvain_votes,
+        gather_own_comm_weight,
+        max_gather_vertices,
+        _LPA_NONE,
+    )
+
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    # vertex dictionary: edge endpoints ∪ internal-only vertices (a
+    # fully-internal community from the previous compression has no
+    # edges but must stay a vertex — the shuffle kernel's full_outer)
+    ids = merged.select(F.col("src").alias("id")).union(
+        merged.select(F.col("dst").alias("id"))
+    )
+    if internal is not None:
+        ids = ids.union(internal.select("id"))
+    uniq = np.sort(ids.distinct().toPandas()["id"].to_numpy())
+    n = len(uniq)
+    if n == 0 or (not forced and n > max_gather_vertices()):
+        return None
+    g = GatherGraph(edges=merged, uniq=uniq.astype(np.int64), n=n)
+
+    view = merged.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("weight").alias("w")
+    ).unionByName(
+        merged.select(
+            F.col("dst").alias("u"),
+            F.col("src").alias("v"),
+            F.col("weight").alias("w"),
+        )
+    )
+    adj = g.receiver_weighted_adjacency(view, n_part)
+    node_w = gather_key_weight_sums(adj, n)
+    internal_w = np.zeros(n, dtype=np.int64)
+    if internal is not None:
+        pdf = internal.toPandas()
+        internal_w[g.cid_of(pdf["id"].to_numpy())] = pdf[
+            "internal_w"
+        ].to_numpy()
+    k_vec = node_w + internal_w
+    m_total = int(k_vec.sum())
+    if m_total <= 0:
+        return None
+    if int(k_vec.max()) * m_total >= 1 << 62:
+        return None  # int64 ΔQ headroom exhausted — join kernel's decimal
+    comm = np.arange(n, dtype=np.int64)
+    sigma = k_vec.copy()  # one vertex per community initially
+    changed_mask = np.zeros(n, dtype=bool)
+
+    updated = -min_progress
+    updated_last_phase = 0
+    even = False
+    count = 0
+    stop = 0
+    while True:
+        count += 1
+        even = not even
+        best = gather_louvain_votes(adj, comm, sigma, k_vec, internal_w, m_total, n)
+        if even:
+            gate = comm > best
+        else:
+            gate = comm < best
+        move = (best != _LPA_NONE) & (best != comm) & gate
+        comm = np.where(move, best, comm)
+        changed_mask = move
+        sigma = np.zeros(n, dtype=np.int64)
+        np.add.at(sigma, comm, k_vec)
+        if fixed_cycles is not None:
+            if count >= fixed_cycles:
+                break
+            continue
+        if even:
+            updated = 0
+        updated += int(np.count_nonzero(move))
+        if not even:
+            if updated >= updated_last_phase - min_progress:
+                stop += 1
+            updated_last_phase = updated
+        if not (
+            stop <= progress_counter
+            and (even or (updated > 0 and count < 100_000))
+        ):
+            break
+
+    # modularity over vertices with ≥1 incident edge (the join
+    # kernel's msgs-semijoin): q_i = (internal + w_own)/M − σ·k/M²,
+    # negatives clamped — identical per-vertex doubles, summation
+    # order absorbed by callers' tolerance (round(6) in the oracle)
+    w_own = gather_own_comm_weight(adj, comm, n)
+    has_msgs = node_w > 0
+    mf = float(m_total)
+    q_i = (internal_w + w_own) / mf - sigma[comm] * k_vec.astype(
+        np.float64
+    ) / (mf * mf)
+    q = float(np.sum(np.where(has_msgs, np.maximum(q_i, 0.0), 0.0)))
+
+    state = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": g.orig_id,
+                "community": g.orig_id[comm],
+                "sigma_tot": sigma[comm],
+                "internal_w": internal_w,
+                "node_w": node_w,
+                "changed": changed_mask,
+            }
+        ),
+        schema=(
+            "id long, community long, sigma_tot long, internal_w long, "
+            "node_w long, changed boolean"
+        ),
+    )
+    g.release()
     return q, state, count // 2

@@ -52,10 +52,15 @@ def label_propagation(
         from distributed_graph_analytics_spark.plans.gather import (
             GatherGraph,
             gather_tier_applies,
+            integral_weight,
             max_gather_vertices,
         )
 
-        if strategy == "gather" or gather_tier_applies(edges):
+        # fractional weights route to the shuffle kernel in auto mode:
+        # the weighted blob pack stores int64 and would silently
+        # truncate (forced "gather" raises in the builder instead)
+        weight_ok = (not weighted) or integral_weight(edges)
+        if strategy == "gather" or (weight_ok and gather_tier_applies(edges)):
             g = GatherGraph.build(edges)
             if strategy == "gather" or g.n <= max_gather_vertices():
                 return _lpa_gather(

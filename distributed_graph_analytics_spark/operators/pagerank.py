@@ -448,6 +448,8 @@ def personalized_pagerank(
                     damping=damping,
                     epsilon=epsilon,
                     max_iterations=max_iterations,
+                    checkpoint_manager=checkpoint_manager,
+                    checkpoint_every=checkpoint_every,
                     n_part=n_part,
                 )
     adj = build_out_adjacency(edges, n_part)
@@ -625,15 +627,24 @@ def _ppr_gather(
     damping: float,
     epsilon: float,
     max_iterations: int,
+    checkpoint_manager,
+    checkpoint_every: int,
     n_part: int,
 ) -> tuple[DataFrame, IterationStats]:
     """Gather-tier personalized PageRank: the global gather PR kernel
     with the teleport term masked to the seed vector
     (``(1-d)·s + d·msgs``, s = 1/|S| on S) and the absolute-delta
-    halt. One shuffle-free gather_sum per superstep."""
+    halt. One shuffle-free gather_sum per superstep.
+
+    Checkpoints save/resume the shuffle tier's (id, rank, seed) state
+    shape under the same "ppr" name (the seed column rides in the
+    shuffle state, so a gather save must carry it for a cross-tier
+    resume; a gather resume needs only rank — the seed vector is
+    recomputed deterministically from ``sources``)."""
     import time
 
     import numpy as np
+    import pandas as pd
 
     from distributed_graph_analytics_spark.plans.gather import (
         gather_sum,
@@ -674,20 +685,39 @@ def _ppr_gather(
     out_deg = g.out_degree(n_part)
     inv_deg = np.where(out_deg > 0, 1.0 / np.maximum(out_deg, 1.0), 0.0)
     rank = seed.copy()
-    for i in range(1, max_iterations + 1):
+
+    def state_df():
+        pdf = pd.DataFrame({"id": g.orig_id, "rank": rank, "seed": seed})
+        return spark.createDataFrame(
+            pdf, schema="id long, rank double, seed double"
+        )
+
+    start_iter = 0
+    if checkpoint_manager is not None:
+        resumed = checkpoint_manager.try_resume("ppr")
+        if resumed is not None:
+            st, start_iter = resumed
+            pdf = st.select("id", "rank").toPandas()
+            rank[g.cid_of(pdf["id"].to_numpy())] = pdf["rank"].to_numpy()
+    for i in range(start_iter + 1, max_iterations + 1):
         t_iter = time.time()
         msg = gather_sum(in_adj, rank * inv_deg, n)
         new_rank = (1.0 - damping) * seed + damping * msg
         max_delta = float(np.max(np.abs(new_rank - rank)))
         rank = new_rank
         stats.iterations = i
-        stats.history.append(
-            {"max_delta": max_delta, "sec": round(time.time() - t_iter, 3)}
-        )
+        metrics = {"max_delta": max_delta, "sec": round(time.time() - t_iter, 3)}
+        stats.history.append(metrics)
         if max_delta < epsilon:
             stats.converged = True
             break
+        if checkpoint_manager is not None and i % checkpoint_every == 0:
+            checkpoint_manager.save("ppr", state_df(), i, metrics)
     out = vector_to_df(spark, g.orig_id, rank, "rank", "double")
+    if checkpoint_manager is not None and stats.converged:
+        checkpoint_manager.save(
+            "ppr", state_df(), stats.iterations, {"converged": True}
+        )
     g.release()
     stats.wall_seconds = time.time() - t0
     return out, stats

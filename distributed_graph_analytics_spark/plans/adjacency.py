@@ -145,13 +145,23 @@ class ShuffleGraph:
         exist anyway, so the distinct shrinks from O(|E|) to O(|V|)
         rows — at the x64 evidence input that removes a 76.5M-row
         exchange+aggregate (the worst-scaling shape of the old
-        pr_build phase) from the build entirely."""
+        pr_build phase) from the build entirely.
+
+        When the in pack does NOT already exist (an out-only consumer,
+        e.g. PageRank alone over a ShuffleGraph), the receiver side
+        falls back to one |E|-row dst scan of the raw edge table
+        instead of forcing the full in-pack build (explode + exchange
+        + collect_list pack + checkpoint) — the pack-derived path is a
+        freebie only when both packs exist anyway."""
         if self._vertices is None:
             out = self.out_adjacency()
-            inn = self.in_adjacency()
+            if self._in is not None:
+                recv = self._in.select(F.col("v").alias("id"))
+            else:
+                recv = self.edges.select(F.col("dst").alias("id"))
             self._vertices = (
                 out.select(F.col("src").alias("id"))
-                .unionByName(inn.select(F.col("v").alias("id")))
+                .unionByName(recv)
                 .distinct()
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )

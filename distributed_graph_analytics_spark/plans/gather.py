@@ -111,6 +111,42 @@ def max_gather_vertices() -> int:
     )
 
 
+def integral_weight(df: DataFrame, col: str = "weight") -> bool:
+    """True when ``col`` is an integral TYPE. The weighted blob packs
+    store weights as int64, so a fractional weight value would be
+    silently truncated — and the shuffle kernels sum the NATIVE value,
+    breaking tier parity. Auto dispatchers use this static check to
+    route fractional-TYPED weight columns to the shuffle tier without
+    a data pass; a float-typed column whose VALUES are all integral
+    (common in ad-hoc test data) still packs exactly — the encode
+    kernel (``_as_int64_weights``) verifies value-integrality at run
+    time and raises instead of truncating."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        df.schema[col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+
+def _as_int64_weights(w: np.ndarray) -> np.ndarray:
+    """Weight column → int64, REFUSING lossy casts: a float weight is
+    accepted only when every value round-trips through int64 exactly.
+    Truncation here would silently diverge from the shuffle kernels,
+    which sum the native value (tier-parity contract)."""
+    if w.dtype.kind in "iu":
+        return w.astype(np.int64, copy=False)
+    wi = w.astype(np.int64)
+    if not np.array_equal(wi.astype(w.dtype), w):
+        raise ValueError(
+            "gather-tier weighted adjacency requires integral edge "
+            "weights: int64 blob packing would truncate fractional "
+            "values and silently diverge from the shuffle tier. Cast "
+            "the weights to long, or use strategy='shuffle'."
+        )
+    return wi
+
+
 def gather_tier_applies(edges: DataFrame) -> bool:
     """Cheap pre-check for ``strategy="auto"``: is |V| under the tier
     cap? Uses one aggregate-only scan (``approx_count_distinct``, HLL
@@ -296,7 +332,7 @@ def _encode_bucket_weighted_fn(uniq_bc, n_part: int, symmetric: bool = True):
         for batch in batches:
             src = np.searchsorted(uniq, _col_np(batch, 0)).astype(np.int32)
             dst = np.searchsorted(uniq, _col_np(batch, 1)).astype(np.int32)
-            wgt = _col_np(batch, 2).astype(np.int64)
+            wgt = _as_int64_weights(_col_np(batch, 2))
             if symmetric:
                 ks.append(np.concatenate((src, dst)))
                 vs.append(np.concatenate((dst, src)))
@@ -1213,6 +1249,219 @@ def gather_lpa_votes(adj: DataFrame, L: np.ndarray, n: int) -> np.ndarray:
     for kb, rb in zip(pdf["kb"], pdf["rb"]):
         out[np.frombuffer(kb, dtype=np.int32)] = np.frombuffer(
             rb, dtype=np.int64
+        )
+    return out
+
+
+def _louvain_votes_fn(bc):
+    """mapInArrow fn: per-key Louvain best-community argmax over
+    receiver-keyed weighted blobs. For each key i and each distinct
+    neighbor community c: w_to = Σ edge weight into c, then the
+    m-scaled integer ΔQ of the shuffle kernel
+    (operators/louvain.py::_best_community — LouvainCore.scala:253-267
+    semantics):
+
+        k_i    = node_w[i] + internal_w[i]
+        k_i_in = w_to (+ internal_w[i] when c == community[i])
+        σ      = sigma[c] (− k_i when c == community[i])
+        ΔQ     = 0 when (c == cur and σ == 0) else k_i_in·M − k_i·σ
+
+    Candidates need ΔQ > 0; the winner is max (ΔQ, then community) —
+    the exact integer arithmetic and the (dq, comm) struct-max
+    tie-break of the shuffle kernel, so trajectories are identical
+    (the caller guards against int64 overflow: max_k·M < 2^62).
+    Like the LPA kernel, per-key vote sums are not partial-mergeable,
+    so batch-tail runs carry into the next batch (keys never span
+    partitions on the merged receiver-keyed table). The even/odd move
+    gate is applied driver-side on the returned vector."""
+
+    def fn(batches):
+        comm, sigma, k_vec, internal, M = bc.value
+
+        def run_best(keys, nbrs, wgts):
+            lab = comm[nbrs]
+            order = np.lexsort((lab, keys))
+            sk, sl, sw = keys[order], lab[order], wgts[order]
+            gb = np.flatnonzero((sk[1:] != sk[:-1]) | (sl[1:] != sl[:-1])) + 1
+            gstart = np.concatenate((np.zeros(1, dtype=np.int64), gb))
+            w_to = np.add.reduceat(sw, gstart)
+            gkey = sk[gstart]
+            glab = sl[gstart]
+            cur = comm[gkey]
+            is_cur = glab == cur
+            ki = k_vec[gkey]
+            kiin = np.where(is_cur, w_to + internal[gkey], w_to)
+            sig = np.where(is_cur, sigma[glab] - ki, sigma[glab])
+            dq = kiin * M - ki * sig
+            dq = np.where(is_cur & (sig == 0), 0, dq)
+            pos = dq > 0
+            out_k = np.unique(gkey).astype(np.int32)
+            best = np.full(len(out_k), _LPA_NONE, dtype=np.int64)
+            if np.any(pos):
+                pk, pl, pd = gkey[pos], glab[pos], dq[pos]
+                o2 = np.lexsort((pl, pd, pk))
+                pk, pl = pk[o2], pl[o2]
+                ends = np.concatenate(
+                    (np.flatnonzero(pk[1:] != pk[:-1]), [len(pk) - 1])
+                )
+                idx = np.searchsorted(out_k, pk[ends])
+                best[idx] = pl[ends]
+            return out_k, best
+
+        def emit(keys, nbrs, wgts):
+            rk, rb = run_best(keys, nbrs, wgts)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([rk.tobytes()], type=pa.binary()),
+                    pa.array([rb.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+        pend = None
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            if len(keys) == 0:
+                continue
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            wgts = _concat_blobs(batch, 2, np.int64)
+            if pend is not None:
+                keys = np.concatenate((pend[0], keys))
+                nbrs = np.concatenate((pend[1], nbrs))
+                wgts = np.concatenate((pend[2], wgts))
+            cut = np.flatnonzero(keys != keys[-1])
+            cut = int(cut[-1]) + 1 if len(cut) else 0
+            pend = (keys[cut:], nbrs[cut:], wgts[cut:])
+            if cut == 0:
+                continue
+            yield emit(keys[:cut], nbrs[:cut], wgts[:cut])
+        if pend is not None and len(pend[0]):
+            yield emit(*pend)
+
+    return fn
+
+
+def gather_louvain_votes(
+    adj: DataFrame,
+    comm: np.ndarray,
+    sigma: np.ndarray,
+    k_vec: np.ndarray,
+    internal: np.ndarray,
+    m_total: int,
+    n: int,
+) -> np.ndarray:
+    """One shuffle-free Louvain move-candidate superstep over
+    ``GatherGraph.receiver_weighted_adjacency`` blobs: per key, the
+    (max m-scaled integer ΔQ, then max community) winning candidate —
+    int64[n], _LPA_NONE for keys with no positive-ΔQ candidate or no
+    adjacency rows. Keys are unique across partials (merged table)."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(
+        (comm, sigma, k_vec, internal, np.int64(m_total))
+    )
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(
+                _louvain_votes_fn(w_bc), "kb binary, rb binary"
+            ).toPandas()
+    finally:
+        w_bc.destroy()
+    out = np.full(n, _LPA_NONE, dtype=np.int64)
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        out[np.frombuffer(kb, dtype=np.int32)] = np.frombuffer(
+            rb, dtype=np.int64
+        )
+    return out
+
+
+def _own_comm_weight_fn(w_bc):
+    """mapInArrow fn: per-key Σ edge weight into the key's OWN current
+    community over receiver-keyed weighted blobs — Louvain's k_i_in
+    term for the modularity sum. Plain masked segment sum: associative,
+    partials merge driver-side, no tail carry."""
+
+    def fn(batches):
+        comm = w_bc.value
+        for batch in batches:
+            keys = _concat_blobs(batch, 0, np.int32)
+            if len(keys) == 0:
+                continue
+            nbrs = _concat_blobs(batch, 1, np.int32)
+            wgts = _concat_blobs(batch, 2, np.int64)
+            contrib = np.where(comm[nbrs] == comm[keys], wgts, 0)
+            starts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
+            out = np.add.reduceat(contrib, starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([keys[starts].tobytes()], type=pa.binary()),
+                    pa.array([out.tobytes()], type=pa.binary()),
+                ],
+                ["kb", "rb"],
+            )
+
+    return fn
+
+
+def gather_own_comm_weight(
+    adj: DataFrame, comm: np.ndarray, n: int
+) -> np.ndarray:
+    """int64[n]: per key, Σ weight of edges whose neighbor shares the
+    key's community (zeros for keys with no adjacency rows)."""
+    spark = adj.sparkSession
+    w_bc = spark.sparkContext.broadcast(comm)
+    try:
+        with arrow_batch(spark, BLOB_BATCH_ROWS):
+            pdf = adj.mapInArrow(
+                _own_comm_weight_fn(w_bc), "kb binary, rb binary"
+            ).toPandas()
+    finally:
+        w_bc.destroy()
+    out = np.zeros(n, dtype=np.int64)
+    for kb, rb in zip(pdf["kb"], pdf["rb"]):
+        np.add.at(
+            out,
+            np.frombuffer(kb, dtype=np.int32),
+            np.frombuffer(rb, dtype=np.int64),
+        )
+    return out
+
+
+def gather_key_weight_sums(adj: DataFrame, n: int) -> np.ndarray:
+    """int64[n] per-KEY weight sums (Σ w over each key's adjacency
+    run) from one pass over receiver-keyed weighted blobs — Louvain's
+    node weight (Σ incident edge weight, both directions, when the
+    view carries both directions)."""
+
+    def fn(batches):
+        acc = np.zeros(n, dtype=np.int64)
+        got = False
+        for batch in batches:
+            got = True
+            np.add.at(
+                acc,
+                _concat_blobs(batch, 0, np.int32),
+                _concat_blobs(batch, 2, np.int64),
+            )
+        if got:
+            nz = np.flatnonzero(acc)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([nz.astype(np.int32).tobytes()], type=pa.binary()),
+                    pa.array([acc[nz].tobytes()], type=pa.binary()),
+                ],
+                ["kb", "cb"],
+            )
+
+    spark = adj.sparkSession
+    with arrow_batch(spark, BLOB_BATCH_ROWS):
+        pdf = adj.mapInArrow(fn, "kb binary, cb binary").toPandas()
+    out = np.zeros(n, dtype=np.int64)
+    for kb, cb in zip(pdf["kb"], pdf["cb"]):
+        np.add.at(
+            out,
+            np.frombuffer(kb, dtype=np.int32),
+            np.frombuffer(cb, dtype=np.int64),
         )
     return out
 

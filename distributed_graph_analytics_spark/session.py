@@ -69,6 +69,27 @@ def get_spark(
     gc_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if gc_opts:
         builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
+    # Low-latency worker daemon (fastdaemon.py): Spark 4.1 launches
+    # fresh Python workers for most jobs, and each pays ~0.2 s in
+    # setup_spark_files' eager zipimport rescan — the dominant fixed
+    # cost of every sub-second Python stage (the gather tier's whole
+    # superstep regime). Local masters only: the daemon module must be
+    # importable by the worker Python, which in local mode shares this
+    # process's environment. PYTHONPATH must carry the repo for the
+    # spawned daemon; prepend our package root if it is not there.
+    if master.startswith("local") and os.environ.get(
+        "SPARK_GRAFT_FAST_DAEMON", "1"
+    ) == "1":
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pypath = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in pypath.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + os.pathsep + pypath if pypath else pkg_root
+            )
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "distributed_graph_analytics_spark.fastdaemon",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

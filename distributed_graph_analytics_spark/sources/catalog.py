@@ -149,6 +149,11 @@ class SnapshotTable:
             "operation": mode,
             "committed_at": time.time(),
             "files": files,
+            # pruning-selectivity observability: a file with no
+            # harvested bounds is never pruned (sound but silent) —
+            # surface the count so degraded metadata-layer pruning is
+            # visible instead of just slow
+            "files_without_bounds": sum(1 for e in files if not e["bounds"]),
         }
         with open(self._manifest_path(snapshot_id), "w") as f:
             json.dump(manifest, f, indent=1)

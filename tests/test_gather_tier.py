@@ -468,3 +468,66 @@ def test_leaf_compression_gather_chain_fixture(spark):
     assert [h["vertices"] for h in g_stats.history] == [
         h["vertices"] for h in s_stats.history
     ]
+
+
+def test_louvain_level_gather_matches_shuffle_exactly(graph, spark):
+    """Gather-tier Louvain level: bit-identical state (community,
+    σ_tot, internal/node weights, changed flags), cycle count, and
+    modularity — the m-scaled integer ΔQ and the (ΔQ, community)
+    struct-max tie-break replicate the join kernel exactly, in cid
+    space (a monotone image of id space, so every comparison and the
+    even/odd gate agree)."""
+    from distributed_graph_analytics_spark.operators.louvain import (
+        louvain_level,
+    )
+    from tests import fixture_graphs as G
+    from tests.conftest import edges_df
+
+    inputs = [
+        graph,
+        edges_df(spark, G.TWO_CLIQUES_BRIDGED),
+        edges_df(spark, G.WCC_MULTI),
+    ]
+    for edges in inputs:
+        for fixed in (None, 4):
+            q_s, st_s, c_s = louvain_level(
+                edges, fixed_cycles=fixed, strategy="shuffle"
+            )
+            q_g, st_g, c_g = louvain_level(
+                edges, fixed_cycles=fixed, strategy="gather"
+            )
+            key = lambda r: (
+                r["id"],
+                r["community"],
+                r["sigma_tot"],
+                r["internal_w"],
+                r["node_w"],
+                r["changed"],
+            )
+            assert sorted(map(key, st_g.collect())) == sorted(
+                map(key, st_s.collect())
+            )
+            assert c_g == c_s
+            assert abs(q_g - q_s) < 1e-9
+
+
+def test_louvain_multilevel_auto_matches_shuffle(spark):
+    """Multi-level louvain() with auto dispatch (gather level kernels
+    on these tiny graphs) reproduces the forced-shuffle level-0/final
+    labels and per-level Q values."""
+    from distributed_graph_analytics_spark.operators.louvain import louvain
+    from tests import fixture_graphs as G
+    from tests.conftest import edges_df
+
+    edges = edges_df(spark, G.TWO_CLIQUES_BRIDGED)
+    want = louvain(edges, min_progress=1, strategy="shuffle")
+    got = louvain(edges, min_progress=1)  # auto
+    assert sorted(
+        (r["id"], r["community"]) for r in got.level0.collect()
+    ) == sorted((r["id"], r["community"]) for r in want.level0.collect())
+    assert sorted(
+        (r["id"], r["community"]) for r in got.final.collect()
+    ) == sorted((r["id"], r["community"]) for r in want.final.collect())
+    assert [round(l.q, 9) for l in got.levels] == [
+        round(l.q, 9) for l in want.levels
+    ]

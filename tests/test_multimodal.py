@@ -209,7 +209,9 @@ def test_extract_features_real_codecs(spark):
             assert r["feature"][2] == 8000.0
             assert abs(r["feature"][4] - twin[4]) < 1e-6
     # video rows in real mode are an honest error, not a silent fake
-    with pytest.raises(Exception, match="no in-container codec"):
+    # (the synthesized payload is not an uncompressed AVI, and the
+    # stdlib AVI parser is opt-in anyway)
+    with pytest.raises(Exception, match="codec"):
         extract_features(
             media.where("kind = 'video'"), fake=False
         ).collect()
@@ -251,3 +253,54 @@ def test_pillow_absent_raises_by_default_even_for_png(monkeypatch):
     feats = mm.decode_image(png)
     assert len(feats) == 8 and feats[0] == 2.0 and feats[1] == 2.0
     assert mm.resize_image(png, 1, 1)[:8] == png[:8]
+
+
+def test_avi_rawvideo_roundtrip_and_gate(monkeypatch):
+    """Stdlib AVI codec (video twin of the PNG codec): encode →
+    parse roundtrips frames exactly; decode_video is raise-by-default
+    and opt-in via SPARK_GRAFT_STDLIB_AVI=1; compressed payloads stay
+    an honest NotImplementedError."""
+    import distributed_graph_analytics_spark.functions.multimodal as mm
+
+    w, h = 6, 4
+    f0 = bytes([10, 20, 30]) * (w * h)
+    f1 = bytes([200, 100, 50]) * (w * h)
+    avi = mm.encode_avi_rawvideo(w, h, [f0, f1], fps=5)
+    W, H, fps, frames = mm.decode_avi_rawvideo(avi)
+    assert (W, H, fps) == (w, h, 5.0)
+    assert frames == [f0, f1]
+
+    monkeypatch.delenv("SPARK_GRAFT_STDLIB_AVI", raising=False)
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_STDLIB_AVI"):
+        mm.decode_video(avi)
+    monkeypatch.setenv("SPARK_GRAFT_STDLIB_AVI", "1")
+    feats = mm.decode_video(avi)
+    assert feats[0] == float(w) and feats[1] == float(h)
+    # frame-averaged mean-R of (10, 200) = 105/255
+    assert abs(feats[2] - (105 / 255.0)) < 1e-6
+    # non-AVI payload raises even with the flag on
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_video(b"\x00\x01\x02fakemp4")
+
+
+def test_extract_features_real_video_via_stdlib_avi(spark, monkeypatch):
+    """extract_features real mode decodes uncompressed-AVI video rows
+    end-to-end (sha256 invariant preserved) when the stdlib parser is
+    opted in."""
+    import hashlib as _hl
+
+    import distributed_graph_analytics_spark.functions.multimodal as mm
+
+    monkeypatch.setenv("SPARK_GRAFT_STDLIB_AVI", "1")
+    w, h = 4, 3
+    frames = [bytes([i * 40 % 256, 10, 10]) * (w * h) for i in range(3)]
+    avi = mm.encode_avi_rawvideo(w, h, frames, fps=2)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), "video/x-msvideo", w, h, 1500)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = mm.extract_features(media, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["payload_sha256"] == _hl.sha256(avi).hexdigest()
+    assert r["feature"][0] == float(w) and r["feature"][1] == float(h)

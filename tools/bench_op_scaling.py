@@ -34,6 +34,16 @@ OPS = (
     "tfidf_top_terms",
     "neighbor_sample",
     "kcore",
+    # round-5 additions: the two §2.3 pipelines previously unprobed
+    "louvain",
+    "hbse",
+    # work-dominated twins of the two gather-tier latency probes: the
+    # unreplicated sf0.1 readings measure the tier's per-superstep
+    # fixed cost (disclosed in BENCH/BASELINE.md), these x8 disjoint
+    # replicas grow kernel work 8x at the same fixed cost — the regime
+    # a 100 TB input actually runs in
+    "kcore_x8",
+    "hits_x8",
 )
 
 
@@ -168,18 +178,58 @@ def _worker(op: str, cpus: int) -> None:
             edges, seeds, fanouts=[8, 4], seed=42
         ).count()
         sec = time.time() - t0
-    elif op == "kcore":
-        from __spark_entry__ import load_edges
+    elif op in ("kcore", "kcore_x8"):
         from distributed_graph_analytics_spark.operators.kcore import (
             core_numbers,
         )
+        from tools._scaling_worker import replicated_edges
 
-        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        rep = 8 if op.endswith("_x8") else 1
+        edges = replicated_edges(spark, sf_dir, rep).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         n_in = edges.count()
         t0 = time.time()
         # auto = gather tier at sf0.1 (round-4 kernel); 38 supersteps
         res, _ = core_numbers(edges, edges_canonical=True)
         n_out = res.count()
+        sec = time.time() - t0
+    elif op == "hits_x8":
+        from distributed_graph_analytics_spark.operators.hits import hits
+        from tools._scaling_worker import replicated_edges
+
+        edges = replicated_edges(spark, sf_dir, 8).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_in = edges.count()
+        t0 = time.time()
+        n_out = hits(edges, iterations=10).count()
+        sec = time.time() - t0
+    elif op == "louvain":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.louvain import louvain
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        # the driver-query configuration (reference CLI defaults):
+        # multi-level to Q-halt; level-0 move cycles dominate
+        res = louvain(edges, min_progress=2000, progress_counter=1)
+        n_out = res.final.count()
+        sec = time.time() - t0
+    elif op == "hbse":
+        from __spark_entry__ import load_edges
+        from distributed_graph_analytics_spark.operators.hbse import hbse
+
+        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        n_in = edges.count()
+        t0 = time.time()
+        # driver-query configuration: one deterministic 64-pivot batch
+        # (budget-capped approximation); per-pivot Brandes dominates
+        btwn, _top, _ = hbse(
+            edges, k=10, pivot_batch_size=64, pivot_budget=64
+        )
+        n_out = btwn.count()
         sec = time.time() - t0
     else:
         raise ValueError(op)

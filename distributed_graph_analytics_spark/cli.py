@@ -250,6 +250,10 @@ def dispatch(args, edges, ckpt):
         from distributed_graph_analytics_spark.plans.adjacency import ShuffleGraph
 
         sg = ShuffleGraph(edges)
+        # both packs are known-needed (WCC uses the reverse pack):
+        # build it up front so vertices() takes the O(|V|) key-column
+        # path instead of the out-only |E| dst-scan fallback
+        sg.in_adjacency()
         ranks, _ = pagerank(
             edges, args.damping, args.delta, args.max_iterations,
             checkpoint_manager=ckpt, shuffle_graph=sg,

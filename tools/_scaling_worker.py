@@ -107,6 +107,12 @@ def main():
         from distributed_graph_analytics_spark.plans.adjacency import ShuffleGraph
 
         sg = ShuffleGraph(edges, num_partitions=parts)
+        # the pipeline KNOWS both packs get used (WCC needs the reverse
+        # pack), so build it up front: vertices() then derives the
+        # vertex set from the two packs' O(|V|) key columns instead of
+        # the |E|-row dst scan it correctly falls back to for out-only
+        # consumers (plans/adjacency.py vertices() round-5 contract)
+        sg.in_adjacency()
     ranks, pr_stats = pagerank(edges, gather_graph=g, shuffle_graph=sg, strategy=tier)
     n_v = ranks.count()
     pr_sec = time.time() - t0

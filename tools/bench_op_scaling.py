@@ -44,6 +44,8 @@ OPS = (
     # a 100 TB input actually runs in
     "kcore_x8",
     "hits_x8",
+    "louvain_x8",
+    "hbse_x8",
 )
 
 
@@ -205,11 +207,14 @@ def _worker(op: str, cpus: int) -> None:
         t0 = time.time()
         n_out = hits(edges, iterations=10).count()
         sec = time.time() - t0
-    elif op == "louvain":
-        from __spark_entry__ import load_edges
+    elif op in ("louvain", "louvain_x8"):
         from distributed_graph_analytics_spark.operators.louvain import louvain
+        from tools._scaling_worker import replicated_edges
 
-        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        rep = 8 if op.endswith("_x8") else 1
+        edges = replicated_edges(spark, sf_dir, rep).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         n_in = edges.count()
         t0 = time.time()
         # the driver-query configuration (reference CLI defaults):
@@ -217,11 +222,14 @@ def _worker(op: str, cpus: int) -> None:
         res = louvain(edges, min_progress=2000, progress_counter=1)
         n_out = res.final.count()
         sec = time.time() - t0
-    elif op == "hbse":
-        from __spark_entry__ import load_edges
+    elif op in ("hbse", "hbse_x8"):
         from distributed_graph_analytics_spark.operators.hbse import hbse
+        from tools._scaling_worker import replicated_edges
 
-        edges = load_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        rep = 8 if op.endswith("_x8") else 1
+        edges = replicated_edges(spark, sf_dir, rep).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         n_in = edges.count()
         t0 = time.time()
         # driver-query configuration: one deterministic 64-pivot batch

@@ -531,3 +531,26 @@ def test_louvain_multilevel_auto_matches_shuffle(spark):
     assert [round(l.q, 9) for l in got.levels] == [
         round(l.q, 9) for l in want.levels
     ]
+
+
+def test_balanced_pid_values_match_spark_hash(spark):
+    """The driver-side Murmur3 used to pre-balance the bucket exchange
+    must agree bit-for-bit with Spark's F.hash on IntegerType — and
+    the remap must land exactly one bucket per partition."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_analytics_spark.plans.gather import (
+        _mm3_int32,
+        balanced_pid_values,
+    )
+
+    rows = (
+        spark.range(0, 512)
+        .select(F.col("id").cast("int").alias("i"))
+        .select("i", F.hash("i").alias("h"))
+        .collect()
+    )
+    assert all(r["h"] == _mm3_int32(r["i"]) for r in rows)
+    for n in (1, 2, 3, 4, 8, 32, 97):
+        t = balanced_pid_values(n)
+        assert [(_mm3_int32(v) % n) for v in t] == list(range(n))

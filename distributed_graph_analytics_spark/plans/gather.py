@@ -890,9 +890,17 @@ def _hindex_fn(w_bc):
 
         def run_hindex(keys, nbrs):
             vals = np.minimum(w[nbrs], w[keys])
-            order = np.lexsort((-vals, keys))
-            sk = keys[order]
-            sv = vals[order]
+            # (key asc, val desc) via ONE packed int64 radix sort
+            # (~4x a lexsort — same trick as _sort_pairs): capped vals
+            # are < n <= 2^25 (deduped degree bound under the tier
+            # cap) and keys < 2^25, so key<<31 | (2^31-1 - val) is
+            # exact and collision-free
+            packed = (keys.astype(np.int64) << 31) | (
+                0x7FFFFFFF - vals.astype(np.int64)
+            )
+            packed.sort(kind="stable")
+            sk = (packed >> 31).astype(np.int32)
+            sv = 0x7FFFFFFF - (packed & 0x7FFFFFFF)
             starts = np.flatnonzero(sk[1:] != sk[:-1]) + 1
             starts = np.concatenate((np.zeros(1, dtype=np.int64), starts))
             counts = np.diff(np.concatenate((starts, [len(sk)])))
@@ -1336,7 +1344,13 @@ def _louvain_votes_fn(bc):
 
         def run_best(keys, nbrs, wgts):
             lab = comm[nbrs]
-            order = np.lexsort((lab, keys))
+            # (key, community) group order via ONE packed int64
+            # argsort (both are cids < 2^25 under the tier cap, so
+            # key<<31 | lab is exact) — the weights column still
+            # needs the permutation, so this argsorts the pack
+            # (~2x a two-key lexsort) instead of value-sorting it
+            packed = (keys.astype(np.int64) << 31) | lab
+            order = np.argsort(packed, kind="stable")
             sk, sl, sw = keys[order], lab[order], wgts[order]
             gb = np.flatnonzero((sk[1:] != sk[:-1]) | (sl[1:] != sl[:-1])) + 1
             gstart = np.concatenate((np.zeros(1, dtype=np.int64), gb))

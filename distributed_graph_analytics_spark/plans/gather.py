@@ -73,10 +73,18 @@ Kernels served (round 4): associative reductions (``gather_sum`` /
 ufunc, batch splits are free) power PageRank, personalized PageRank,
 WCC, SSSP, HITS, weighted PageRank, leaf compression and closeness;
 NON-mergeable per-key kernels (``gather_hindex`` for k-core,
-``gather_lpa_votes`` for LPA) ride the MERGED single-table adjacencies
-(each key's run contiguous in one partition) with a cross-batch tail
-carry inside the pass. Ten analytics total behind ``strategy="auto"``,
-all parity-pinned by tests/test_gather_tier.py.
+``gather_lpa_votes`` for LPA, ``gather_louvain_votes`` for the Louvain
+move phase) ride the MERGED single-table adjacencies (each key's run
+contiguous in one partition) with a cross-batch tail carry inside the
+pass. Eleven analytics total behind ``strategy="auto"``, all
+parity-pinned by tests/test_gather_tier.py.
+
+Placement (round 5): the bucket exchange emits pid values pre-mapped
+through a driver-side Murmur3 (``balanced_pid_values``) so the hash
+repartition lands exactly one range bucket per shuffle partition —
+a plain ``repartition(n_part, "pid")`` is a balls-in-bins throw that
+left ~1/e of partitions empty and the tier collision-bounded at every
+core count.
 """
 
 from __future__ import annotations

@@ -73,13 +73,16 @@ def get_spark(
     # fresh Python workers for most jobs, and each pays ~0.2 s in
     # setup_spark_files' eager zipimport rescan — the dominant fixed
     # cost of every sub-second Python stage (the gather tier's whole
-    # superstep regime). Local masters only: the daemon module must be
-    # importable by the worker Python, which in local mode shares this
-    # process's environment. PYTHONPATH must carry the repo for the
-    # spawned daemon; prepend our package root if it is not there.
-    if master.startswith("local") and os.environ.get(
-        "SPARK_GRAFT_FAST_DAEMON", "1"
-    ) == "1":
+    # superstep regime). Enabled only when THIS process launches the
+    # JVM (plain `python job.py` in local mode): the daemon inherits
+    # the JVM's environment, so the PYTHONPATH prepend below reaches
+    # it only if the JVM starts after us. Under spark-submit the
+    # gateway JVM already exists (PYSPARK_GATEWAY_PORT is set) and the
+    # daemon would fail to import the module — there, opt in manually:
+    #   --conf spark.python.daemon.module=distributed_graph_analytics_spark.fastdaemon
+    # with the package on the worker PYTHONPATH (e.g. --py-files plus
+    # spark.executorEnv.PYTHONPATH).
+    if _fastdaemon_enabled(master):
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         pypath = os.environ.get("PYTHONPATH", "")
         if pkg_root not in pypath.split(os.pathsep):
@@ -93,6 +96,17 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _fastdaemon_enabled(master: str) -> bool:
+    """See the call site: local master, not opted out, and no
+    pre-existing gateway JVM (spark-submit) whose daemon would miss
+    the PYTHONPATH prepend and fail to import the module."""
+    return (
+        master.startswith("local")
+        and os.environ.get("SPARK_GRAFT_FAST_DAEMON", "1") == "1"
+        and "PYSPARK_GATEWAY_PORT" not in os.environ
+    )
 
 
 def _local_cores(master: str, default: int) -> int:

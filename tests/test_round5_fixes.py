@@ -296,3 +296,20 @@ def test_catalog_file_entry_without_stats_is_unpruned_but_counted(
     entry = cat._file_entry(name, df.schema)
     assert entry["rows"] == 50
     assert entry["bounds"] == {}
+
+
+def test_fastdaemon_gating(monkeypatch):
+    """fastdaemon is enabled only when this process launches the JVM:
+    local master, not opted out, and no pre-existing spark-submit
+    gateway (whose daemon would fail to import the module)."""
+    from distributed_graph_analytics_spark.session import _fastdaemon_enabled
+
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_FAST_DAEMON", raising=False)
+    assert _fastdaemon_enabled("local[4]")
+    assert not _fastdaemon_enabled("yarn")
+    monkeypatch.setenv("SPARK_GRAFT_FAST_DAEMON", "0")
+    assert not _fastdaemon_enabled("local[4]")
+    monkeypatch.delenv("SPARK_GRAFT_FAST_DAEMON", raising=False)
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "12345")
+    assert not _fastdaemon_enabled("local[4]")

@@ -36,11 +36,21 @@ process sees a python include it has not seen before — preserving
 addPyFile semantics while making the no-include common case ~free.
 
 Enabled by ``session.get_spark`` via the public
-``spark.python.daemon.module`` conf for local masters only (the
-module must be importable by the worker Python; on a cluster, ship
-the package with --py-files and set the conf explicitly if wanted —
-it is an optimization, never a correctness requirement). Opt out
-with SPARK_GRAFT_FAST_DAEMON=0.
+``spark.python.daemon.module`` conf for local masters launched by
+this process (under spark-submit the pre-existing gateway JVM would
+not see the PYTHONPATH prepend — set the conf explicitly there; it
+is an optimization, never a correctness requirement). Opt out with
+SPARK_GRAFT_FAST_DAEMON=0.
+
+Why not worker REUSE instead: Spark 4.1's NIO runner effectively
+breaks ``spark.python.worker.reuse`` — instrumented here, a worker
+survives its first task's END_OF_STREAM handshake, serves exactly one
+more task, then dies with the reuse handshake failing (exit −1 in the
+daemon's worker loop), so the pool never retains workers. That is
+JVM-side behavior this repo cannot patch; the conditional
+invalidation above attacks the dominant per-fork cost instead
+(measured: a no-op 4-task Python job drops 0.28 s → 0.10 s; the
+residual ~0.06 s/job of fork+connect+handshake is the platform floor).
 """
 
 from __future__ import annotations
